@@ -1,0 +1,344 @@
+"""Event-stream -> dense tensor representations, as vectorized scatter kernels.
+
+Capability parity with reference `datasets/representations.py` (time surface,
+voxel grid, event stack, distance map), re-designed TPU-first:
+
+ - every converter is pure jnp, shape-static and jittable: events arrive as
+   fixed-length padded arrays (x, y, t, p) + a validity mask, so the same
+   compiled program handles any event count (the reference's per-event python
+   loops, `np.add.at`/`put_` host scatters and searchsorted slicing disappear);
+ - scatters are `.at[].add/max` ops that XLA lowers to efficient on-device
+   scatter; bin membership is computed as per-bin masks at trace time;
+ - batched use is `jax.vmap(events_to_voxel_grid, ...)`.
+
+A numpy host-side path with identical semantics lives in the C++ rasterizer
+(`ei_nexus_tpu/native`) and `host_*` wrappers below for the input pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def normalize_time(t: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    """Normalize event timestamps to [0, 1] over the valid window.
+
+    Matches reference representations.py:time_normalization (t -= t0;
+    t /= t_last + 1e-8) generalized to masked padding: t0/t_last are the
+    first/last *valid* timestamps (events are time-sorted; padding sits at
+    the tail).
+    """
+    if mask is None:
+        t0 = t[0]
+        t_last = t[-1] - t0
+    else:
+        big = jnp.asarray(jnp.inf, t.dtype)
+        t0 = jnp.min(jnp.where(mask, t, big))
+        t0 = jnp.where(jnp.isfinite(t0), t0, 0.0)
+        t_last = jnp.max(jnp.where(mask, t - t0, 0.0))
+    return (t - t0) / (t_last + 1e-8)
+
+
+def _masked_scatter_add(grid_flat: jax.Array, idx: jax.Array, w: jax.Array,
+                        mask: jax.Array) -> jax.Array:
+    idx = jnp.where(mask, idx, 0)
+    w = jnp.where(mask, w, 0.0)
+    return grid_flat.at[idx].add(w)
+
+
+def _nonzero_normalize(grid: jax.Array) -> jax.Array:
+    """Standardize the nonzero entries (mean 0, unbiased std 1), like the
+    reference voxel-grid normalization (representations.py:114-122)."""
+    nz = grid != 0
+    cnt = jnp.sum(nz)
+    safe_cnt = jnp.maximum(cnt, 1)
+    mean = jnp.sum(jnp.where(nz, grid, 0.0)) / safe_cnt
+    var = jnp.sum(jnp.where(nz, (grid - mean) ** 2, 0.0)) / jnp.maximum(
+        safe_cnt - 1, 1)
+    std = jnp.sqrt(var)
+    centered = jnp.where(nz, grid - mean, grid)
+    standardized = jnp.where(std > 0, centered / jnp.where(std > 0, std, 1.0),
+                             centered)
+    return jnp.where(cnt > 0, standardized, grid)
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "height", "width",
+                                             "normalize"))
+def events_to_voxel_grid(
+    x: jax.Array,
+    y: jax.Array,
+    t: jax.Array,
+    p: jax.Array,
+    *,
+    bins: int,
+    height: int,
+    width: int,
+    mask: Optional[jax.Array] = None,
+    normalize: bool = True,
+) -> jax.Array:
+    """Trilinear event splatting into a (bins, H, W) voxel grid.
+
+    Polarity is mapped to {-1, +1} (any p < 1 becomes -1, reference
+    representations.py:88-89); each event deposits value * trilinear weights
+    onto its 8 surrounding (t, y, x) corners. Default MVSEC/EC representation
+    (configs/dataset/mvsec.yaml: VoxelGrid, 16 channels).
+
+    Args:
+      x, y, t, p: (N,) event coordinates (may be float), timestamps and
+        polarities; time-sorted with padding at the tail.
+      mask: optional (N,) validity of each slot.
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    p = p.astype(jnp.float32)
+    if mask is None:
+        mask = jnp.ones_like(x, dtype=bool)
+
+    tn = normalize_time(t.astype(jnp.float32), mask)
+    # reference rescales the *already normalized* time again over its span —
+    # for the masked case the span of valid tn is [0, 1] so this is tn itself
+    t_scaled = (bins - 1) * tn
+
+    x0 = x.astype(jnp.int32)
+    y0 = y.astype(jnp.int32)
+    t0 = t_scaled.astype(jnp.int32)
+    value = jnp.where(p < 1, -1.0, 1.0)
+
+    grid = jnp.zeros((bins * height * width,), jnp.float32)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dt in (0, 1):
+                xl, yl, tl = x0 + dx, y0 + dy, t0 + dt
+                inb = ((xl >= 0) & (xl < width) & (yl >= 0) & (yl < height)
+                       & (tl >= 0) & (tl < bins) & mask)
+                w = (value
+                     * (1.0 - jnp.abs(xl.astype(jnp.float32) - x))
+                     * (1.0 - jnp.abs(yl.astype(jnp.float32) - y))
+                     * (1.0 - jnp.abs(tl.astype(jnp.float32) - t_scaled)))
+                idx = (tl * height + yl) * width + xl
+                grid = _masked_scatter_add(grid, idx, w, inb)
+
+    grid = grid.reshape(bins, height, width)
+    if normalize:
+        grid = _nonzero_normalize(grid)
+    return grid
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "height", "width"))
+def events_to_time_surface(
+    x: jax.Array,
+    y: jax.Array,
+    t: jax.Array,
+    p: jax.Array,
+    *,
+    bins: int,
+    height: int,
+    width: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-polarity time surfaces: channel 2*b + p holds the latest
+    normalized timestamp of each pixel within time-bin b.
+
+    Reference representations.py:26 writes events in time order so the last
+    (max) timestamp wins — reproduced here with a scatter-max. Bin membership
+    uses closed intervals [b*dt, (b+1)*dt] on both sides like the reference's
+    searchsorted(left)/searchsorted(right) slicing (boundary events land in
+    both adjacent bins).
+    """
+    n_bins = bins // 2
+    if mask is None:
+        mask = jnp.ones_like(x, dtype=bool)
+    tn = normalize_time(t.astype(jnp.float32), mask)
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    pi = p.astype(jnp.int32)
+    inb = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height) & mask
+
+    dt_bin = 1.0 / n_bins
+    surface = jnp.zeros((bins * height * width,), jnp.float32)
+    for b in range(n_bins):
+        in_bin = inb & (tn >= b * dt_bin) & (tn <= (b + 1) * dt_bin)
+        ch = 2 * b + pi
+        idx = jnp.where(in_bin, (ch * height + yi) * width + xi, 0)
+        val = jnp.where(in_bin, tn, -jnp.inf)
+        surface = surface.at[idx].max(val)
+    surface = jnp.maximum(surface, 0.0)  # untouched pixels stay 0
+    return surface.reshape(bins, height, width)
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "height", "width"))
+def events_to_event_stack(
+    x: jax.Array,
+    y: jax.Array,
+    t: jax.Array,
+    p: jax.Array,
+    *,
+    bins: int,
+    height: int,
+    width: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Signed event counts per time bin: stack[b, y, x] += (2p - 1).
+
+    Reference representations.py:178 (polarity {0,1} -> ±1; same closed-
+    interval bin membership as the time surface).
+    """
+    if mask is None:
+        mask = jnp.ones_like(x, dtype=bool)
+    tn = normalize_time(t.astype(jnp.float32), mask)
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    val = 2.0 * p.astype(jnp.float32) - 1.0
+    inb = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height) & mask
+
+    dt_bin = 1.0 / bins
+    stack = jnp.zeros((bins * height * width,), jnp.float32)
+    for b in range(bins):
+        in_bin = inb & (tn >= b * dt_bin) & (tn <= (b + 1) * dt_bin)
+        idx = (b * height + yi) * width + xi
+        stack = _masked_scatter_add(stack, idx, val, in_bin)
+    return stack.reshape(bins, height, width)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def events_to_accumulation_image(
+    x: jax.Array,
+    y: jax.Array,
+    *,
+    height: int,
+    width: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Event-count image (the event-occupancy mask source).
+
+    Replaces the reference's per-event python loop
+    (datasets/visualize.py:draw_events_accumulation_image — its data-loading
+    hot spot) with one scatter-add.
+    """
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    inb = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+    if mask is not None:
+        inb = inb & mask
+    img = jnp.zeros((height * width,), jnp.float32)
+    img = _masked_scatter_add(img, yi * width + xi, jnp.ones_like(xi, jnp.float32),
+                              inb)
+    return img.reshape(height, width)
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "height", "width",
+                                             "n_iter"))
+def events_to_distance_map(
+    x: jax.Array,
+    y: jax.Array,
+    t: jax.Array,
+    p: jax.Array,
+    *,
+    bins: int,
+    height: int,
+    width: int,
+    mask: Optional[jax.Array] = None,
+    n_iter: Optional[int] = None,
+) -> jax.Array:
+    """Per-bin L2 distance transform of the event occupancy map.
+
+    Reference representations.py:216 uses cv2.distanceTransform(DIST_L2, 3),
+    a 3x3 chamfer approximation (weights a=0.955, b=1.3693). We reproduce the
+    same chamfer metric with an iterated 3x3 min-plus relaxation — a chain of
+    `lax.reduce_window`-style ops that XLA fuses on the VPU. `n_iter` bounds
+    the propagation radius (default: enough to cover the image diagonal).
+    """
+    n_bins = bins
+    if mask is None:
+        mask = jnp.ones_like(x, dtype=bool)
+    tn = normalize_time(t.astype(jnp.float32), mask)
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+    inb = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height) & mask
+
+    a, b = 0.955, 1.3693  # OpenCV's DIST_L2 3x3 chamfer weights
+    if n_iter is None:
+        n_iter = max(height, width)
+
+    dt_bin = 1.0 / n_bins
+    out = []
+    for bi in range(n_bins):
+        in_bin = inb & (tn >= bi * dt_bin) & (tn <= (bi + 1) * dt_bin)
+        occ = jnp.zeros((height * width,), jnp.float32)
+        occ = occ.at[jnp.where(in_bin, yi * width + xi, 0)].max(
+            jnp.where(in_bin, 1.0, 0.0))
+        occ = occ.reshape(height, width)
+        big = jnp.float32(1e9)
+        dist = jnp.where(occ > 0, 0.0, big)
+
+        def relax(d):
+            dp = jnp.pad(d, 1, constant_values=big)
+            c = jnp.stack([
+                d,
+                dp[:-2, 1:-1] + a, dp[2:, 1:-1] + a,
+                dp[1:-1, :-2] + a, dp[1:-1, 2:] + a,
+                dp[:-2, :-2] + b, dp[:-2, 2:] + b,
+                dp[2:, :-2] + b, dp[2:, 2:] + b,
+            ])
+            return jnp.min(c, axis=0)
+
+        dist = jax.lax.fori_loop(0, n_iter, lambda _, d: relax(d), dist)
+        out.append(jnp.where(dist >= 1e8, 0.0, dist))
+    return jnp.stack(out)
+
+
+_CONVERTERS = {
+    "VoxelGrid": events_to_voxel_grid,
+    "TimeSurface": events_to_time_surface,
+    "EventStack": events_to_event_stack,
+    "DistanceMap": events_to_distance_map,
+}
+
+
+def build_representation(
+    kind: str,
+    x: jax.Array, y: jax.Array, t: jax.Array, p: jax.Array,
+    *,
+    bins: int,
+    height: int,
+    width: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Dispatch by representation name (config `representation_type`)."""
+    if kind not in _CONVERTERS:
+        raise ValueError(f"unknown representation {kind!r}; "
+                         f"choose from {sorted(_CONVERTERS)}")
+    return _CONVERTERS[kind](x, y, t, p, bins=bins, height=height, width=width,
+                             mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers for the input pipeline
+# ---------------------------------------------------------------------------
+
+
+def pad_events(x: np.ndarray, y: np.ndarray, t: np.ndarray, p: np.ndarray,
+               length: int) -> Tuple[np.ndarray, ...]:
+    """Pad/truncate an event window to a fixed length + validity mask.
+
+    Truncation keeps the most recent events (the reference's window is
+    anchored at the frame timestamp; the tail is the informative part).
+    """
+    n = len(x)
+    if n > length:
+        sl = slice(n - length, n)
+        x, y, t, p = x[sl], y[sl], t[sl], p[sl]
+        n = length
+    out = []
+    for arr in (x, y, t, p):
+        buf = np.zeros(length, dtype=np.asarray(arr).dtype)
+        buf[:n] = arr
+        out.append(buf)
+    valid = np.zeros(length, dtype=bool)
+    valid[:n] = True
+    return (*out, valid)
