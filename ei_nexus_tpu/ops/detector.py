@@ -1,0 +1,187 @@
+"""Detector postprocessing: logits -> probabilities -> full-res score map ->
+NMS -> fixed-K keypoints.
+
+Capability parity with reference `core/modules/utils/detector_util.py`
+(logits_to_prob, depth_to_space, prob_map_to_points_map, fast_nms,
+prob_map_to_positions_with_prob), re-designed TPU-first:
+
+ - NHWC layout throughout; the pixel-shuffle is a reshape/transpose;
+ - NMS is the reference's iterate-until-converged local-max suppression
+   (`fast_nms`, detector_util.py:243) expressed as max-pools inside a
+   `lax.while_loop` — or a fused single-pass Pallas kernel (ops/pallas_nms);
+ - keypoint selection returns a FIXED K slots (positions [B,K,3] = (y+.5,
+   x+.5, prob) and a validity mask) via `lax.top_k` instead of ragged
+   `nonzero` tuples — the quantile-threshold rule (detector_util.py:108-126,
+   torch.quantile midpoint) is reproduced exactly from the (k+1)-th value.
+
+Tie behavior: the reference's argmax tie-break (first index wins) is not
+reproduced; exact float ties between neighboring scores suppress each other.
+Measure-zero for real score maps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def logits_to_prob(logits: jax.Array, channel_axis: int = -1) -> jax.Array:
+    """Softmax over cells (or sigmoid for single-channel heads)."""
+    if logits.shape[channel_axis] == 1:
+        return jax.nn.sigmoid(logits)
+    return jax.nn.softmax(logits, axis=channel_axis)
+
+
+def depth_to_space(prob: jax.Array, cell_size: int = 8) -> jax.Array:
+    """(B, h, w, cell^2+1) cell probabilities -> (B, H, W) full-res map.
+
+    Drops the dustbin channel and pixel-shuffles; channel c = i*cell + j maps
+    to spatial offset (i, j) (torch F.pixel_shuffle convention).
+    """
+    if cell_size == 1:
+        assert prob.shape[-1] == 1
+        return prob[..., 0]
+    assert prob.shape[-1] == cell_size * cell_size + 1
+    B, h, w, _ = prob.shape
+    p = prob[..., : cell_size * cell_size]
+    p = p.reshape(B, h, w, cell_size, cell_size)
+    p = p.transpose(0, 1, 3, 2, 4)  # B, h, i, w, j
+    return p.reshape(B, h * cell_size, w * cell_size)
+
+
+def space_to_depth(score: jax.Array, cell_size: int = 8) -> jax.Array:
+    """(B, H, W) -> (B, h, w, cell^2+1) with a clamped dustbin channel
+    (reference detector_util.py:340)."""
+    B, H, W = score.shape
+    h, w = H // cell_size, W // cell_size
+    p = score.reshape(B, h, cell_size, w, cell_size)
+    p = p.transpose(0, 1, 3, 2, 4).reshape(B, h, w, cell_size * cell_size)
+    dustbin = jnp.clip(1.0 - jnp.sum(p, axis=-1, keepdims=True), 0.0, None)
+    return jnp.concatenate([p, dustbin], axis=-1)
+
+
+def remove_border_scores(score: jax.Array, border: int) -> jax.Array:
+    """Zero the outer `border` pixels of a (B, H, W) score map."""
+    if border <= 0:
+        return score
+    H, W = score.shape[-2], score.shape[-1]
+    ys = jnp.arange(H)
+    xs = jnp.arange(W)
+    keep = ((ys >= border) & (ys < H - border))[:, None] & (
+        (xs >= border) & (xs < W - border))[None, :]
+    return jnp.where(keep, score, 0.0)
+
+
+def _maxpool2d(x: jax.Array, radius: int) -> jax.Array:
+    """Same-size max pool with window (2r+1)^2 over the last two axes."""
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, k), window_strides=(1, 1, 1),
+        padding=((0, 0), (radius, radius), (radius, radius)))
+
+
+def nms(score: jax.Array, radius: int, max_iter: int = 8,
+        impl: str = "xla") -> jax.Array:
+    """Iterative local-maximum NMS on a (B, H, W) score map.
+
+    Repeat until converged (or `max_iter`): mark local maxima, zero every
+    non-maximum within `radius` of one. Matches reference `fast_nms`
+    (detector_util.py:243) up to float-tie handling.
+    """
+    if radius <= 0:
+        return score
+    if impl == "pallas":
+        from .pallas_nms import nms_pallas
+        return nms_pallas(score, radius, max_iter)
+
+    def step(x):
+        is_max = (x == _maxpool2d(x, radius)) & (x > 0)
+        count = jnp.sum(is_max.astype(jnp.int32))
+        suppressed = _maxpool2d(is_max.astype(score.dtype), radius) > 0
+        return jnp.where(suppressed & ~is_max, 0.0, x), count
+
+    def body(state):
+        x, count, _, i = state
+        x_new, new_count = step(x)
+        return x_new, new_count, count, i + 1
+
+    def cond(state):
+        _, count, prev_count, i = state
+        return (count != prev_count) & (i < max_iter)
+
+    x0, c0 = step(score)
+    x, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, c0, jnp.int32(-1), jnp.int32(1)))
+    return x
+
+
+def smooth_score_mask(mask: jax.Array) -> jax.Array:
+    """3x3 dilation of a (B, H, W) boolean event-occupancy mask.
+
+    The reference blurs the mask with a normalized 3x3 box filter and keeps
+    >0 (EventExtractors.py:546-550) — identical to one dilation step.
+    """
+    m = mask.astype(jnp.float32)
+    return _maxpool2d(m, 1) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("k", "ordering"))
+def select_topk_keypoints(
+    nms_score: jax.Array,
+    k: int,
+    prob_thresh: float = 1.0,
+    ordering: str = "yx",
+) -> Tuple[jax.Array, jax.Array]:
+    """Fixed-K keypoint extraction from an NMS'd (B, H, W) score map.
+
+    Returns (positions (B, K, 3), valid (B, K)): positions are (y+0.5,
+    x+0.5, prob) in `yx` ordering (or (x+0.5, y+0.5, prob) for `xy`),
+    sorted by descending score; `valid` marks slots whose probability
+    survives the reference's threshold rule
+    `prob > min(prob_thresh, topk_quantile_midpoint)`
+    (detector_util.py:108-133, torch.quantile(..., 'midpoint')).
+    """
+    assert ordering in ("yx", "xy")
+    B, H, W = nms_score.shape
+    flat = nms_score.reshape(B, H * W)
+    if k >= H * W:
+        vals, idx = jax.lax.top_k(flat, H * W)
+        thresh = jnp.zeros((B, 1), nms_score.dtype)
+        pad = k - H * W
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+    else:
+        vals_p1, idx_p1 = jax.lax.top_k(flat, k + 1)
+        vals, idx = vals_p1[:, :k], idx_p1[:, :k]
+        # torch.quantile((HW-k)/HW, midpoint) == mean of k-th/(k+1)-th largest
+        thresh = (vals_p1[:, k - 1:k] + vals_p1[:, k:k + 1]) / 2.0
+    thresh = jnp.minimum(thresh, prob_thresh)
+    valid = vals > thresh
+
+    ys = (idx // W).astype(nms_score.dtype) + 0.5
+    xs = (idx % W).astype(nms_score.dtype) + 0.5
+    if ordering == "yx":
+        pos = jnp.stack([ys, xs, vals], axis=-1)
+    else:
+        pos = jnp.stack([xs, ys, vals], axis=-1)
+    return pos, valid
+
+
+def dense_positions(score: jax.Array, ordering: str = "yx") -> jax.Array:
+    """All pixel positions with their scores: (B, H*W, 3) in row-major order
+    (reference detector_util.py:504 get_dense_positions)."""
+    B, H, W = score.shape
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=score.dtype),
+                          jnp.arange(W, dtype=score.dtype), indexing="ij")
+    ys = (ys + 0.5).reshape(-1)
+    xs = (xs + 0.5).reshape(-1)
+    if ordering == "yx":
+        grid = jnp.stack([ys, xs], axis=-1)
+    else:
+        grid = jnp.stack([xs, ys], axis=-1)
+    grid = jnp.broadcast_to(grid[None], (B, H * W, 2))
+    return jnp.concatenate([grid, score.reshape(B, H * W, 1)], axis=-1)
