@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Headline benchmark: matched event-image frame-pairs per second per chip.
+
+Runs the full flagship pipeline — on-device voxelization of raw events,
+event-VGG extraction, SuperPoint extraction, LightGlue matching, fixed-K
+postprocessing — on synthetic MVSEC-scale inputs (260x346, 16-bin voxel
+grid, 1024 keypoints/side) and reports sustained pairs/s on one chip.
+
+Timing methodology: N pipeline iterations are chained inside one jitted
+`lax.scan` with a data dependency between iterations, so the device must
+execute them sequentially; one scalar fetch at the end bounds completion.
+(Plain dispatch+block_until_ready under-reports through remote-device
+tunnels, which acknowledge at enqueue.)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference (PyTorch on one A800) publishes no throughput.
+BASELINE.md derives an estimate of ~20 pairs/s end-to-end for the reference
+eval pipeline (batch-1 python loops, CPU per-event rasterization ~40 ms/frame
+at 200k events, CPU RANSAC); `vs_baseline` is measured/20.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A800_BASELINE_PAIRS_PER_S = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship
+    from ei_nexus_tpu.train.steps import batch_representation
+
+    model, (H, W, bins) = _flagship()
+    rng = np.random.default_rng(0)
+    B = 8
+    max_events = 1 << 17
+    N = 10  # chained iterations per timing run
+
+    ev = {
+        "events_x": rng.uniform(0, W - 1, (B, max_events)).astype(np.float32),
+        "events_y": rng.uniform(0, H - 1, (B, max_events)).astype(np.float32),
+        "events_t": np.sort(rng.uniform(0, 0.4, (B, max_events)),
+                            axis=1).astype(np.float32),
+        "events_p": rng.integers(0, 2, (B, max_events)).astype(np.float32),
+        "events_valid": np.ones((B, max_events), bool),
+    }
+    image = rng.uniform(0, 255, (B, H, W, 1)).astype(np.float32)
+
+    rep0, mask0 = batch_representation(ev, "VoxelGrid", bins, H, W)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           rep0[:1], image[:1], mask0[:1])
+
+    @jax.jit
+    def chained(variables, ev, image):
+        def body(carry, _):
+            ev_i = dict(ev)
+            ev_i["events_x"] = ev["events_x"] + carry * 1e-6
+            rep, mask = batch_representation(ev_i, "VoxelGrid", bins, H, W)
+            _, _, m = model.apply(variables, rep, image, mask)
+            return jnp.sum(m["matching_scores0"]) * 1e-6, None
+        carry, _ = jax.lax.scan(body, jnp.float32(0), None, length=N)
+        return carry
+
+    ev_j = {k: jax.device_put(v) for k, v in ev.items()}
+    image_j = jax.device_put(image)
+
+    float(chained(variables, ev_j, image_j))  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(variables, ev_j, image_j))  # scalar fetch = completion
+        best = min(best, time.perf_counter() - t0)
+    pairs_per_s = N * B / best
+
+    print(json.dumps({
+        "metric": "matched_frame_pairs_per_s_per_chip",
+        "value": round(pairs_per_s, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / A800_BASELINE_PAIRS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -10,5 +10,11 @@
 """
 
 from . import representations
+from . import interpolator
+from . import augment
+from . import mvsec
+from . import ec
+from .pipeline import DataLoader, collate
 
-__all__ = ["representations"]
+__all__ = ["representations", "interpolator", "augment", "mvsec", "ec",
+           "DataLoader", "collate"]

@@ -1,0 +1,125 @@
+"""Streaming, host-sharded input pipeline.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(MVSEC.py:1221-1233): each host process owns the `process_index`-th shard of
+the global index stream (no sampler object), loads samples with a thread
+pool (HDF5 slicing + PNG decode release the GIL), and prefetches collated
+fixed-shape numpy batches on a background queue so the accelerator never
+waits on the host.
+
+The expensive events->representation conversion is NOT done here — batches
+carry padded raw event arrays and the jitted train step voxelizes on device
+(ei_nexus_tpu.data.representations), removing the reference's per-event
+python loops from the critical path.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def collate(samples: Sequence[Any]) -> Any:
+    """Stack a list of (possibly nested) numpy sample structures."""
+    first = samples[0]
+    if isinstance(first, dict):
+        return {k: collate([s[k] for s in samples]) for k in first}
+    if isinstance(first, (tuple, list)):
+        return type(first)(collate([s[i] for s in samples])
+                           for i in range(len(first)))
+    return np.stack([np.asarray(s) for s in samples])
+
+
+class DataLoader:
+    """Sharded, prefetching batch iterator over a map-style dataset.
+
+    Args:
+      dataset: object with __len__/__getitem__ returning numpy structures.
+      batch_size: GLOBAL batch size; each process yields
+        batch_size // process_count samples (reference batch split,
+        MVSEC.py:1227).
+      shuffle/drop_last/seed: epoch shuffling (seed + epoch defines the
+        permutation on every host identically).
+      process_index/process_count: this host's shard of the sample stream.
+      num_workers: loader threads; prefetch: batches queued ahead.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 drop_last: bool = True, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1,
+                 num_workers: int = 4, prefetch: int = 2):
+        assert batch_size % process_count == 0, \
+            "global batch size must divide evenly across hosts"
+        self.dataset = dataset
+        self.global_batch = batch_size
+        self.local_batch = batch_size // process_count
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.drop_last:
+            n_batches = n // self.global_batch
+            order = order[: n_batches * self.global_batch]
+        # host shard: strided by process index within each global batch
+        return order[self.process_index::self.process_count]
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.global_batch
+        return -(-n // self.global_batch)
+
+    def __iter__(self) -> Iterator[Any]:
+        indices = self._epoch_indices()
+        n_local = len(indices) // self.local_batch
+        if not self.drop_last and len(indices) % self.local_batch:
+            n_local += 1
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_local):
+                        if stop.is_set():
+                            return
+                        batch_idx = indices[b * self.local_batch:
+                                            (b + 1) * self.local_batch]
+                        samples = list(pool.map(
+                            self.dataset.__getitem__, batch_idx))
+                        out_q.put(collate(samples))
+                out_q.put(None)
+            except BaseException as e:  # surface worker errors to consumer
+                out_q.put(e)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

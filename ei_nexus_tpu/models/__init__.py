@@ -22,3 +22,7 @@ __all__ = [
     "mnn_match", "LightGlue", "LightGlueConfig",
     "EIM", "EIMConfig", "build_model",
 ]
+
+from .config_adapter import eim_config_from_dict  # noqa: E402
+
+__all__.append("eim_config_from_dict")

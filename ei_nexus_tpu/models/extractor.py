@@ -88,7 +88,11 @@ def extract_keypoints(
 
     masked_score = score
     bordered = remove_border_scores(masked_score, cfg.remove_borders)
-    nms_map = nms(bordered, cfg.nms_radius, impl=cfg.nms_impl)
+    # keypoint selection is non-differentiable (reference uses nonzero);
+    # gradients flow through the score/descriptor maps, not the NMS loop
+    nms_map = jax.lax.stop_gradient(
+        nms(jax.lax.stop_gradient(bordered), cfg.nms_radius,
+            impl=cfg.nms_impl))
     positions, valid = select_topk_keypoints(
         nms_map, cfg.detection_top_k, cfg.detection_threshold, cfg.ordering)
 

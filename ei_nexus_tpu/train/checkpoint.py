@@ -1,0 +1,89 @@
+"""Checkpointing: orbax-backed save/restore + cross-stage surgery.
+
+Parity with the reference's torch.save({epoch, model/optimizer/scheduler
+state_dict}) checkpoints (train_extractor.py:343-371, resume :163-170) and
+the stage-transfer key-prefix surgery (EIM.py:29-42: stage-1 ckpt ->
+`event_extractor.*`, stage-2 ckpt -> `matcher.*`). Under flax the subtrees
+are first-class dict keys, so "surgery" is a subtree copy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, state, epoch: int,
+                    name: Optional[str] = None) -> str:
+    """Save {params, batch_stats, opt_state, step, epoch} (sharded-safe)."""
+    name = name or f"checkpoint_{epoch}"
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": np.asarray(epoch),
+    }
+    ckptr = _checkpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, state):
+    """Restore into an existing TrainState template. Returns
+    (state, epoch)."""
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": np.asarray(0),
+    }
+    ckptr = _checkpointer()
+    restored = ckptr.restore(os.path.abspath(path), template)
+    new_state = state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"], step=restored["step"])
+    return new_state, int(restored["epoch"])
+
+
+def _restore_raw(path: str) -> Dict[str, Any]:
+    ckptr = _checkpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_stage1_event_extractor(path: str, variables: Dict[str, Any]
+                                ) -> Dict[str, Any]:
+    """Copy a stage-1 checkpoint's event_extractor subtree into model
+    variables (reference EIM.py:29-35 prefix strip)."""
+    ckpt = _restore_raw(path)
+    out = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy tree
+    out["params"] = dict(out["params"])
+    out["params"]["event_extractor"] = ckpt["params"]["event_extractor"]
+    if "batch_stats" in out and "event_extractor" in ckpt.get(
+            "batch_stats", {}):
+        out["batch_stats"] = dict(out["batch_stats"])
+        out["batch_stats"]["event_extractor"] = \
+            ckpt["batch_stats"]["event_extractor"]
+    return out
+
+
+def load_stage2_matcher(path: str, variables: Dict[str, Any]
+                        ) -> Dict[str, Any]:
+    """Copy a stage-2 checkpoint's matcher subtree into model variables
+    (reference EIM.py:36-42)."""
+    ckpt = _restore_raw(path)
+    out = jax.tree_util.tree_map(lambda x: x, variables)
+    out["params"] = dict(out["params"])
+    out["params"]["matcher"] = ckpt["params"]["matcher"]
+    return out

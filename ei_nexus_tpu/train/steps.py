@@ -1,0 +1,157 @@
+"""Jitted train/eval steps for the two training stages.
+
+Stage 1 (reference train_extractor.py:213-321): distill the event extractor
+against the frozen image extractor on time-synchronized pairs with
+score/descriptor/feature losses, event-occupancy masked.
+
+Stage 2 (reference train_matcher.py:155-220): train LightGlue on
+time-separated pairs; GT matches generated per step from pose + depth.
+
+TPU-first design:
+ - the events->voxel-grid conversion and the event-occupancy mask are
+   computed ON DEVICE inside the step (vmapped scatter kernels) from the
+   pipeline's padded raw event arrays — the reference's CPU-side per-event
+   loops are gone;
+ - one `jax.jit` per stage; under a `Mesh` with the batch sharded over the
+   `data` axis, XLA inserts the gradient all-reduce over ICI automatically
+   (replacing DDP's NCCL allreduce);
+ - frozen submodules receive zero gradient via a static mask
+   (train/partition.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data import representations as reps
+from ..geometry import Camera, Pose, gt_matches_from_pose_depth
+from ..losses.matcher_loss import lightglue_loss, mnn_loss
+from .partition import apply_freeze
+from .state import TrainState
+
+
+def batch_representation(batch_view: Mapping[str, jax.Array], kind: str,
+                         bins: int, height: int, width: int
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Padded raw events -> (events_rep NHWC (B,H,W,bins), mask (B,H,W))."""
+    def one(x, y, t, p, m):
+        rep = reps.build_representation(kind, x, y, t, p, bins=bins,
+                                        height=height, width=width, mask=m)
+        acc = reps.events_to_accumulation_image(x, y, height=height,
+                                                width=width, mask=m)
+        return rep, acc > 0
+
+    rep, mask = jax.vmap(one)(
+        batch_view["events_x"], batch_view["events_y"],
+        batch_view["events_t"].astype(jnp.float32),
+        batch_view["events_p"], batch_view["events_valid"])
+    return rep.transpose(0, 2, 3, 1), mask
+
+
+def make_stage1_train_step(
+    model, losses: Mapping[str, Callable], freeze: Any,
+    rep_kind: str, bins: int, height: int, width: int,
+) -> Callable:
+    """Build the jitted stage-1 (extractor distillation) step."""
+
+    @jax.jit
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        data0 = batch[0]
+        events_rep, events_mask = batch_representation(
+            data0, rep_kind, bins, height, width)
+        image = data0["image"]
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (ev_feats, im_feats, _), mutated = state.apply_fn(
+                variables, events_rep, image, events_mask, None, True,
+                mutable=["batch_stats"], rngs={"pad": rng})
+            l_kp, i_kp = losses["keypoints_loss"](ev_feats, im_feats,
+                                                  events_mask)
+            l_de, i_de = losses["descriptors_loss"](ev_feats, im_feats,
+                                                    events_mask)
+            l_fe, i_fe = losses["feature_loss"](ev_feats, im_feats)
+            total = l_kp + l_de + l_fe
+            info = {"loss": total, **i_kp, **i_de, **i_fe}
+            return total, (info, mutated.get("batch_stats",
+                                             state.batch_stats))
+
+        (loss, (info, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = apply_freeze(grads, freeze)
+        new_state = state.apply_gradients(grads, new_stats)
+        return new_state, info
+
+    return step
+
+
+def make_stage2_train_step(
+    model, freeze: Any, rep_kind: str, bins: int, height: int, width: int,
+    pos_th: float = 3.0, neg_th: float = 5.0, gamma: float = 1.0,
+    nll_balancing: float = 0.5,
+) -> Callable:
+    """Build the jitted stage-2 (LightGlue) step: per-step GT match
+    generation from pose + depth, deep-supervision NLL."""
+
+    @jax.jit
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        data0, data1, T01, T10 = batch[:4]
+        ev_rep, ev_mask = batch_representation(data0, rep_kind, bins, height,
+                                               width)
+        image1 = data1["image"]
+        K = data0["K"]
+        cam = Camera.from_calibration_matrix(
+            K, size=jnp.broadcast_to(
+                jnp.asarray([width, height], jnp.float32), K.shape[:-2] + (2,)))
+        T_0to1 = Pose.from_4x4mat(T01)
+        T_1to0 = Pose.from_4x4mat(T10)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (ev_feats, im_feats, matches), mutated = state.apply_fn(
+                variables, ev_rep, image1, ev_mask, None, True,
+                mutable=["batch_stats"], rngs={"pad": rng})
+            kp0 = matches["input_feats0"]["sparse_positions"][..., :2]
+            kp1 = matches["input_feats1"]["sparse_positions"][..., :2]
+            gt = gt_matches_from_pose_depth(
+                kp0, kp1, cam, cam,
+                data0["depth"], data1["depth"], T_0to1, T_1to0,
+                pos_th=pos_th, neg_th=neg_th, ordering="yx")
+            loss, info = lightglue_loss(
+                matches, gt, gamma=gamma, nll_balancing=nll_balancing,
+                training=True)
+            n_gt = jnp.mean(jnp.sum(gt["matches0"] > -1, axis=-1)
+                            .astype(jnp.float32))
+            info = {"loss": loss, "gt_matches": n_gt, **info}
+            return loss, (info, mutated.get("batch_stats",
+                                            state.batch_stats))
+
+        (loss, (info, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = apply_freeze(grads, freeze)
+        new_state = state.apply_gradients(grads, new_stats)
+        return new_state, info
+
+    return step
+
+
+def make_eval_step(model, rep_kind: str, bins: int, height: int, width: int
+                   ) -> Callable:
+    """Jitted inference step: batch -> (event feats, image feats, matches)
+    with masks (no random slot filling)."""
+
+    @jax.jit
+    def step(state: TrainState, batch) -> Tuple[Dict, Dict, Optional[Dict]]:
+        data0, data1 = batch[0], batch[1]
+        ev_rep, ev_mask = batch_representation(data0, rep_kind, bins, height,
+                                               width)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        return state.apply_fn(variables, ev_rep, data1["image"], ev_mask,
+                              None, False)
+
+    return step

@@ -1,0 +1,311 @@
+"""Training harness tests: optimizers/schedules, config system, train steps
+(loss decreases; frozen modules stay fixed), data-parallel sharded step on
+the 8-device CPU mesh, checkpoint round-trip + stage surgery."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from ei_nexus_tpu.models import EIM, EIMConfig, KeypointExtractorConfig, \
+    LightGlueConfig
+from ei_nexus_tpu.models.eim import ExtractorSpec, MatcherConfig
+from ei_nexus_tpu.losses import build_losses
+from ei_nexus_tpu.train import (
+    build_optimizer, build_schedule, create_train_state,
+    freeze_mask, save_checkpoint, restore_checkpoint,
+    load_stage1_event_extractor,
+)
+from ei_nexus_tpu.train.steps import (
+    make_stage1_train_step, make_stage2_train_step, make_eval_step,
+    batch_representation,
+)
+from ei_nexus_tpu.train.partition import frozen_roots_from_config
+from ei_nexus_tpu.parallel import make_mesh, shard_batch, replicate
+from ei_nexus_tpu.utils.config import (
+    Config, load_config, apply_overrides, deep_merge, save_config)
+
+H, W, BINS, KPTS = 48, 64, 4, 32
+
+
+def small_config(matcher="MNN", freeze_matcher=True):
+    k = KeypointExtractorConfig(detection_top_k=KPTS)
+    return EIMConfig(
+        event_extractor=ExtractorSpec(type="vgg", in_channels=BINS,
+                                      feat_channels=16, descriptor_dim=24,
+                                      lat_channels=24, keypoints=k),
+        image_extractor=ExtractorSpec(type="superpointv1", freeze=True,
+                                      descriptor_dim=24, keypoints=k),
+        matcher=MatcherConfig(
+            type=matcher, freeze=freeze_matcher, max_points_num=KPTS,
+            lightglue=LightGlueConfig(input_dim=24, descriptor_dim=24,
+                                      n_layers=2, num_heads=4)),
+    )
+
+
+def synth_batch(rng, B=2, n_events=500, max_events=1024, with_depth=True):
+    def view():
+        x = rng.uniform(0, W - 1, (B, max_events)).astype(np.float32)
+        y = rng.uniform(0, H - 1, (B, max_events)).astype(np.float32)
+        t = np.sort(rng.uniform(0, 0.4, (B, max_events)), axis=1)
+        p = rng.integers(0, 2, (B, max_events)).astype(np.float32)
+        valid = np.zeros((B, max_events), bool)
+        valid[:, :n_events] = True
+        d = {
+            "events_x": x, "events_y": y, "events_t": t, "events_p": p,
+            "events_valid": valid,
+            "image": rng.uniform(0, 255, (B, H, W, 1)).astype(np.float32),
+            "K": np.tile(np.array([[60.0, 0, W / 2], [0, 60.0, H / 2],
+                                   [0, 0, 1]], np.float32), (B, 1, 1)),
+        }
+        if with_depth:
+            d["depth"] = np.full((B, H, W), 2.0, np.float32)
+            d["depth_mask"] = np.ones((B, H, W), bool)
+        return d
+
+    T01 = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    T01[:, 0, 3] = 0.05
+    T10 = np.linalg.inv(T01)
+    return (view(), view(), T01, T10.astype(np.float32))
+
+
+class TestSchedules:
+    def test_cosine(self):
+        s = build_schedule({"type": "CosineAnnealingLR",
+                            "CosineAnnealingLR": {"T_max": 10,
+                                                  "eta_min": 0.0}},
+                           base_lr=1.0, steps_per_epoch=5)
+        assert s(0) == pytest.approx(1.0)
+        assert s(5 * 5) == pytest.approx(0.5, abs=1e-6)  # epoch 5 of 10
+        assert s(10 * 5) == pytest.approx(0.0, abs=1e-6)
+
+    def test_step_lr(self):
+        s = build_schedule({"type": "StepLR",
+                            "StepLR": {"step_size": 2, "gamma": 0.1}},
+                           base_lr=1.0, steps_per_epoch=1)
+        assert s(0) == 1.0 and s(1) == 1.0
+        assert s(2) == pytest.approx(0.1)
+        assert s(4) == pytest.approx(0.01)
+
+    def test_multistep(self):
+        s = build_schedule({"type": "MultiStepLR",
+                            "MultiStepLR": {"milestones": [2, 4],
+                                            "gamma": 0.5}},
+                           base_lr=1.0, steps_per_epoch=1)
+        assert s(1) == 1.0 and s(2) == 0.5 and s(4) == 0.25
+
+    def test_warm_restarts(self):
+        s = build_schedule({"type": "CosineAnnealingWarmRestarts",
+                            "CosineAnnealingWarmRestarts":
+                                {"T_0": 4, "T_mult": 1, "eta_min": 0.0}},
+                           base_lr=1.0, steps_per_epoch=1)
+        assert s(0) == pytest.approx(1.0)
+        assert s(4) == pytest.approx(1.0)  # restart
+
+    def test_optimizers_build(self):
+        for otype in ("Adam", "AdamW", "SGD"):
+            tx = build_optimizer({"type": otype, otype: {}},
+                                 lambda s: 1e-3)
+            params = {"w": jnp.ones(3)}
+            st = tx.init(params)
+            g = {"w": jnp.ones(3)}
+            up, _ = tx.update(g, st, params)
+            assert jnp.isfinite(up["w"]).all()
+
+
+class TestConfigSystem:
+    def test_compose_and_interpolate(self, tmp_path):
+        (tmp_path / "dataset").mkdir()
+        (tmp_path / "train").mkdir()
+        (tmp_path / "dataset" / "d1.yaml").write_text(
+            "name: d1\nbatch_size: 8\n")
+        (tmp_path / "train" / "t1.yaml").write_text(
+            "optimizer:\n  lr: 0.001\n  Adam:\n    lr: ${train.optimizer.lr}\n")
+        root = tmp_path / "exp.yaml"
+        root.write_text(
+            "defaults:\n  - dataset: d1\n  - train: t1\nexperiment: test\n")
+        cfg = load_config(str(root))
+        assert cfg.dataset.name == "d1"
+        assert cfg.train.optimizer.Adam.lr == 0.001  # interpolated, typed
+        assert cfg.experiment == "test"
+
+    def test_overrides(self, tmp_path):
+        root = tmp_path / "c.yaml"
+        root.write_text("a:\n  b: 1\nc: hello\n")
+        cfg = load_config(str(root), overrides=["a.b=5", "c=world",
+                                                "new.key=2.5"])
+        assert cfg.a.b == 5 and cfg.c == "world" and cfg.new.key == 2.5
+
+    def test_save_roundtrip(self, tmp_path):
+        cfg = Config({"a": {"b": [1, 2]}, "c": "x"})
+        save_config(cfg, str(tmp_path / "out.yaml"))
+        cfg2 = load_config(str(tmp_path / "out.yaml"))
+        assert cfg2.to_dict() == cfg.to_dict()
+
+
+class TestStage1:
+    def _setup(self, rng):
+        model = EIM(config=small_config("MNN"))
+        batch = synth_batch(rng)
+        ev_rep, ev_mask = batch_representation(
+            {k: jnp.asarray(v) for k, v in batch[0].items()
+             if k.startswith("events")}, "VoxelGrid", BINS, H, W)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)},
+            ev_rep, jnp.asarray(batch[0]["image"]), ev_mask)
+        losses = build_losses({
+            "keypoints_loss": {"type": "ScoreLoss",
+                               "ScoreLoss": {"weight": 1.0, "mode": "mse",
+                                             "use_mask": True}},
+            "descriptors_loss": {"type": "DescriptorsLoss",
+                                 "DescriptorsLoss": {"mode": "mae",
+                                                     "weight": 1.0,
+                                                     "use_mask": True}},
+            # feature loss needs matching backbone widths (128 in the real
+            # configs); the small test model uses 16 vs SuperPoint's 128
+        })
+        tx = build_optimizer({"type": "AdamW", "AdamW": {}}, lambda s: 3e-4)
+        state = create_train_state(model, variables, tx)
+        freeze = freeze_mask(variables["params"],
+                             frozen_roots_from_config(model.config))
+        step = make_stage1_train_step(model, losses, freeze, "VoxelGrid",
+                                      BINS, H, W)
+        return model, state, step, batch
+
+    def test_loss_decreases_and_teacher_frozen(self, rng):
+        model, state, step, batch = self._setup(rng)
+        im_params0 = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).copy(),
+            state.params["image_extractor"])
+        losses = []
+        for i in range(8):
+            state, info = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(info["loss"]))
+        assert losses[-1] < losses[0], losses
+        # frozen teacher unchanged bit-for-bit
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            state.params["image_extractor"], im_params0)
+        assert int(state.step) == 8
+
+    def test_data_parallel_mesh(self, rng):
+        """Same step under an 8-device data mesh: runs and matches the
+        single-device loss."""
+        model, state, step, batch = self._setup(rng)
+        mesh = make_mesh(data=8)
+        batch8 = synth_batch(rng, B=8)
+        with jax.set_mesh(mesh):
+            sharded = shard_batch(batch8, mesh)
+            state_r = replicate(state, mesh)
+            state2, info = step(state_r, sharded, jax.random.PRNGKey(0))
+            assert np.isfinite(float(info["loss"]))
+            state3, _ = step(state2, sharded, jax.random.PRNGKey(1))
+        assert int(state3.step) == 2
+
+
+class TestStage2:
+    def test_lightglue_training_step(self, rng):
+        model = EIM(config=small_config("LightGlue", freeze_matcher=False))
+        batch = synth_batch(rng)
+        ev_rep, ev_mask = batch_representation(
+            {k: jnp.asarray(v) for k, v in batch[0].items()
+             if k.startswith("events")}, "VoxelGrid", BINS, H, W)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "pad": jax.random.PRNGKey(1)},
+            ev_rep, jnp.asarray(batch[0]["image"]), ev_mask, None, True)
+        tx = build_optimizer({"type": "AdamW", "AdamW": {}}, lambda s: 1e-4)
+        state = create_train_state(model, variables, tx)
+        cfg = model.config
+        freeze = freeze_mask(variables["params"],
+                             frozen_roots_from_config(cfg))
+        step = make_stage2_train_step(model, freeze, "VoxelGrid", BINS, H, W)
+        ev0 = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).copy(),
+            state.params["event_extractor"])
+        losses = []
+        for i in range(4):
+            state, info = step(state, batch, jax.random.PRNGKey(10 + i))
+            losses.append(float(info["loss"]))
+        assert np.isfinite(losses).all()
+        # frozen extractors unchanged; matcher moved
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            state.params["event_extractor"], ev0)
+        moved = jax.tree_util.tree_reduce(
+            lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+            jax.tree_util.tree_map(
+                lambda a, b: a - b, state.params["matcher"],
+                variables["params"]["matcher"]), 0.0)
+        assert moved > 0
+
+    def test_eval_step(self, rng):
+        model = EIM(config=small_config("MNN"))
+        batch = synth_batch(rng)
+        ev_rep, ev_mask = batch_representation(
+            {k: jnp.asarray(v) for k, v in batch[0].items()
+             if k.startswith("events")}, "VoxelGrid", BINS, H, W)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               ev_rep, jnp.asarray(batch[0]["image"]),
+                               ev_mask)
+        tx = optax.sgd(1e-3)
+        state = create_train_state(model, variables, tx)
+        step = make_eval_step(model, "VoxelGrid", BINS, H, W)
+        ev, im, matches = step(state, batch)
+        assert matches["matches0"].shape == (2, KPTS)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, rng, tmp_path):
+        model = EIM(config=small_config("MNN"))
+        batch = synth_batch(rng)
+        ev_rep, ev_mask = batch_representation(
+            {k: jnp.asarray(v) for k, v in batch[0].items()
+             if k.startswith("events")}, "VoxelGrid", BINS, H, W)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               ev_rep, jnp.asarray(batch[0]["image"]),
+                               ev_mask)
+        tx = build_optimizer({"type": "AdamW", "AdamW": {}}, lambda s: 1e-3)
+        state = create_train_state(model, variables, tx)
+        path = save_checkpoint(str(tmp_path), state, epoch=7)
+        # perturb then restore
+        state_p = state.replace(params=jax.tree_util.tree_map(
+            lambda x: x + 1.0, state.params))
+        restored, epoch = restore_checkpoint(path, state_p)
+        assert epoch == 7
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            restored.params, state.params)
+
+    def test_stage1_surgery(self, rng, tmp_path):
+        model = EIM(config=small_config("MNN"))
+        batch = synth_batch(rng)
+        ev_rep, ev_mask = batch_representation(
+            {k: jnp.asarray(v) for k, v in batch[0].items()
+             if k.startswith("events")}, "VoxelGrid", BINS, H, W)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               ev_rep, jnp.asarray(batch[0]["image"]),
+                               ev_mask)
+        tx = optax.sgd(1e-3)
+        state = create_train_state(model, variables, tx)
+        # pretend stage-1 training moved the event extractor
+        state = state.replace(params={
+            **state.params,
+            "event_extractor": jax.tree_util.tree_map(
+                lambda x: x + 2.0, state.params["event_extractor"])})
+        path = save_checkpoint(str(tmp_path), state, epoch=1)
+        new_vars = load_stage1_event_extractor(path, variables)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            new_vars["params"]["event_extractor"],
+            state.params["event_extractor"])
+        # other subtrees untouched
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)),
+            new_vars["params"]["image_extractor"],
+            variables["params"]["image_extractor"])

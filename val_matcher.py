@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Matcher validation entry point: GT matches from pose+depth -> LightGlue
+loss/metrics + RPE AUC on the val pair protocol.
+
+Parity with reference `val_matcher.py:39-125`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/train_EIM_stage2.yaml")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--max-batches", type=int, default=None)
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+
+    from ei_nexus_tpu.utils import load_config
+    from ei_nexus_tpu.models import EIM, eim_config_from_dict
+    from ei_nexus_tpu.train import create_train_state, restore_checkpoint
+    from ei_nexus_tpu.train.evaluate import rpe_eval
+    from ei_nexus_tpu.train.steps import batch_representation
+    from ei_nexus_tpu.data import DataLoader
+    from ei_nexus_tpu.data.mvsec import fetch_mvsec_dataset
+    from ei_nexus_tpu.data.ec import fetch_ec_dataset
+
+    cfg = load_config(args.config, args.overrides)
+    from ei_nexus_tpu.utils.platform import apply_platform
+    apply_platform(cfg.get("device"))
+    ds_cfg = cfg.dataset.to_dict()
+    H, W = ds_cfg["resolution"]
+    bins, rep = ds_cfg["channel"], ds_cfg["representation_type"]
+    fetch = fetch_mvsec_dataset if ds_cfg["name"] == "mvsec" \
+        else fetch_ec_dataset
+    val_ds = fetch(ds_cfg, "val")
+    loader = DataLoader(val_ds, batch_size=1, shuffle=False, drop_last=False)
+
+    model = EIM(config=eim_config_from_dict(cfg.model.to_dict()))
+    sample = val_ds[0]
+    ev_rep, ev_mask = batch_representation(
+        {k: np.asarray(v)[None] for k, v in sample[0].items()
+         if k.startswith("events")}, rep, bins, H, W)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, ev_rep,
+                           np.asarray(sample[1]["image"])[None], ev_mask)
+    import optax
+    state = create_train_state(model, variables, optax.sgd(0.0))
+    if args.ckpt:
+        state, _ = restore_checkpoint(args.ckpt, state)
+
+    metrics = rpe_eval(state, model, loader, rep, bins, H, W,
+                       max_batches=args.max_batches)
+    print(json.dumps(metrics, indent=2, sort_keys=True))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
