@@ -36,7 +36,7 @@ def main():
     from __graft_entry__ import _flagship
     from ei_nexus_tpu.train.steps import batch_representation
 
-    model, (H, W, bins) = _flagship()
+    model, (H, W, bins) = _flagship(dtype="bfloat16")
     rng = np.random.default_rng(0)
     B = 8
     max_events = 1 << 17

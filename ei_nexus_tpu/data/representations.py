@@ -342,3 +342,139 @@ def pad_events(x: np.ndarray, y: np.ndarray, t: np.ndarray, p: np.ndarray,
     valid = np.zeros(length, dtype=bool)
     valid[:n] = True
     return (*out, valid)
+
+
+# ---------------------------------------------------------------------------
+# MXU matmul-splat voxelization (TPU fast path)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "bins", "height", "width", "normalize", "chunk", "slots",
+    "matmul_dtype", "with_accumulation"))
+def events_to_voxel_grid_splat(
+    x: jax.Array,
+    y: jax.Array,
+    t: jax.Array,
+    p: jax.Array,
+    *,
+    bins: int,
+    height: int,
+    width: int,
+    mask: Optional[jax.Array] = None,
+    normalize: bool = True,
+    chunk: int = 4096,
+    slots: int = 4,
+    matmul_dtype=jnp.bfloat16,
+    with_accumulation: bool = True,
+):
+    """Trilinear voxel splat via MXU matmuls instead of XLA scatter.
+
+    XLA's scatter-add is the TPU bottleneck of on-device voxelization
+    (~95 ms for 8x131k events vs ~8 ms for the whole conv extractor). This
+    kernel exploits that events are TIME-SORTED: a fixed `chunk` of
+    consecutive events touches only a few adjacent time bins, so each
+    chunk's contribution to one time bin is a dense rank-decomposed 2D
+    splat  I = (E_y * w)^T @ E_x  with E_y (C, H) / E_x (C, W) holding the
+    bilinear row/column weights (two nonzeros per row) — a pair of one-hot
+    matmuls the MXU eats. Per chunk, `slots` adjacent time bins starting at
+    the chunk's first event's bin are accumulated via dynamic_update_slice.
+
+    Events whose time bin falls outside the chunk's slot window are dropped
+    — impossible for ≤`slots`-1 bins per chunk; with the default
+    chunk=4096, slots=4 a chunk must span >3 of 16 bins (a >48x local
+    burst) before any weight is lost.
+
+    `matmul_dtype=bfloat16` keeps the one-hot weight matrices in bf16 with
+    f32 accumulation (~1e-2 relative error on voxel values); pass
+    jnp.float32 for exact parity with `events_to_voxel_grid`.
+
+    Returns (grid (bins, H, W), accumulation (H, W)) when
+    `with_accumulation` (the event-count image from the same matmuls),
+    else just the grid.
+    """
+    xq = x.astype(jnp.float32)
+    yq = y.astype(jnp.float32)
+    pq = p.astype(jnp.float32)
+    if mask is None:
+        mask = jnp.ones_like(xq, dtype=bool)
+    N = xq.shape[0]
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        xq = jnp.pad(xq, (0, pad))
+        yq = jnp.pad(yq, (0, pad))
+        pq = jnp.pad(pq, (0, pad))
+        mask = jnp.pad(mask, (0, pad))
+
+    tn = normalize_time(t.astype(jnp.float32), mask[:N] if pad else mask)
+    tn = jnp.pad(tn, (0, pad)) if pad else tn
+    ts = (bins - 1) * tn
+
+    value = jnp.where(pq < 1, -1.0, 1.0)
+    valid = mask & (xq >= 0) & (xq < width) & (yq >= 0) & (yq < height)
+
+    xc = xq.reshape(n_chunks, chunk)
+    yc = yq.reshape(n_chunks, chunk)
+    tc = ts.reshape(n_chunks, chunk)
+    vc = (value * valid).reshape(n_chunks, chunk)
+    mc = valid.reshape(n_chunks, chunk)
+
+    cols = jnp.arange(width, dtype=jnp.float32)
+    rows = jnp.arange(height, dtype=jnp.float32)
+
+    def chunk_body(carry, inp):
+        grid, acc = carry
+        cx, cy, ct, cv, cm = inp
+        # bilinear row/col weight matrices (2 nonzeros per row)
+        dy = 1.0 - jnp.abs(cy[:, None] - rows[None, :])      # (C, H)
+        Ey = jnp.maximum(dy, 0.0)
+        dx = 1.0 - jnp.abs(cx[:, None] - cols[None, :])      # (C, W)
+        Ex = jnp.maximum(dx, 0.0).astype(matmul_dtype)
+
+        tb = jnp.floor(ct).astype(jnp.int32)
+        # first VALID event's bin anchors the slot window
+        first = jnp.argmax(cm)
+        b0 = jnp.clip(tb[first], 0, bins - 1)
+
+        imgs = []
+        for s in range(slots):
+            # t-weight of this chunk's events towards absolute bin b0+s:
+            # corner tb (weight 1-frac) or tb+1 (weight frac)
+            rel = (b0 + s) - tb
+            frac = ct - tb
+            wt = jnp.where(rel == 0, 1.0 - frac,
+                           jnp.where(rel == 1, frac, 0.0))
+            in_range = (b0 + s) < bins
+            w = cv * wt * in_range
+            lhs = (Ey * w[:, None]).astype(matmul_dtype)
+            img = jax.lax.dot_general(
+                lhs, Ex, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (H, W)
+            imgs.append(img)
+        block = jnp.stack(imgs)                              # (S, H, W)
+        cur = jax.lax.dynamic_slice(grid, (b0, 0, 0),
+                                    (slots, height, width))
+        grid = jax.lax.dynamic_update_slice(grid, cur + block, (b0, 0, 0))
+
+        if acc is not None:
+            # integer-floor occupancy counts from one-hot matmuls
+            oy = (jnp.floor(cy[:, None]) == rows[None, :])
+            ox = (jnp.floor(cx[:, None]) == cols[None, :])
+            lhs = (oy * cm[:, None]).astype(matmul_dtype)
+            acc = acc + jax.lax.dot_general(
+                lhs, ox.astype(matmul_dtype), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return (grid, acc), None
+
+    grid0 = jnp.zeros((bins + slots, height, width), jnp.float32)
+    acc0 = jnp.zeros((height, width), jnp.float32) if with_accumulation \
+        else None
+    (grid, acc), _ = jax.lax.scan(
+        chunk_body, (grid0, acc0), (xc, yc, tc, vc, mc))
+    grid = grid[:bins]
+    if normalize:
+        grid = _nonzero_normalize(grid)
+    if with_accumulation:
+        return grid, acc
+    return grid

