@@ -1,0 +1,193 @@
+"""Bundle adjustment + pose graph tests on synthetic scenes, including the
+8-device sharded equivalence check."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ei_nexus_tpu.parallel.ba import (
+    BAProblem, ba_solve, residuals, PoseGraph, pose_graph_solve,
+    pose_graph_residuals, _so3log)
+from ei_nexus_tpu.geometry.se3 import so3exp_map
+
+
+def synth_ba_problem(rng, M=6, L=120, noise_pose=0.02, noise_point=0.05,
+                     noise_px=0.0):
+    """Cameras in a ring looking at a landmark cloud; noisy initialization."""
+    intr = np.tile(np.array([300.0, 300.0, 160.0, 120.0]), (M, 1))
+    points = rng.uniform([-2, -2, 4], [2, 2, 8], (L, 3))
+    poses = []
+    for m in range(M):
+        w = np.array([0.0, 0.05 * m, 0.0])
+        t = np.array([0.3 * m - 0.75, 0.0, 0.0])
+        poses.append(np.concatenate([w, -so3_apply(w, t)]))
+    poses = np.stack(poses)
+
+    obs_pose, obs_point, obs_uv = [], [], []
+    for m in range(M):
+        Xc = so3_apply_batch(poses[m, :3], points) + poses[m, 3:]
+        uv = np.stack([intr[m, 0] * Xc[:, 0] / Xc[:, 2] + intr[m, 2],
+                       intr[m, 1] * Xc[:, 1] / Xc[:, 2] + intr[m, 3]], -1)
+        obs_pose.extend([m] * L)
+        obs_point.extend(range(L))
+        obs_uv.append(uv)
+    obs_uv = np.concatenate(obs_uv)
+    if noise_px:
+        obs_uv = obs_uv + rng.normal(0, noise_px, obs_uv.shape)
+
+    init_poses = poses.copy()
+    init_poses[1:] += rng.normal(0, noise_pose, (M - 1, 6))
+    init_points = points + rng.normal(0, noise_point, points.shape)
+    fixed = np.zeros(M, bool)
+    fixed[0] = True
+
+    return BAProblem(
+        poses=jnp.asarray(init_poses, jnp.float32),
+        intrinsics=jnp.asarray(intr, jnp.float32),
+        points=jnp.asarray(init_points, jnp.float32),
+        obs_pose=jnp.asarray(obs_pose, jnp.int32),
+        obs_point=jnp.asarray(obs_point, jnp.int32),
+        obs_uv=jnp.asarray(obs_uv, jnp.float32),
+        obs_valid=jnp.ones(len(obs_pose), bool),
+        fixed_poses=jnp.asarray(fixed),
+    ), poses, points
+
+
+def so3_apply(w, t):
+    return np.asarray(so3exp_map(jnp.asarray(w))) @ t
+
+
+def so3_apply_batch(w, X):
+    return X @ np.asarray(so3exp_map(jnp.asarray(w))).T
+
+
+class TestBA:
+    def test_converges_to_zero_error(self, rng):
+        prob, gt_poses, gt_points = synth_ba_problem(rng)
+        err0 = float(jnp.mean(residuals(prob) ** 2))
+        refined, errs = ba_solve(prob, iters=12, cg_iters=25)
+        err1 = float(errs[-1])
+        assert err0 > 1.0          # meaningful initial error
+        assert err1 < err0 * 1e-3, (err0, err1)
+
+    def test_fixed_pose_untouched(self, rng):
+        prob, *_ = synth_ba_problem(rng)
+        refined, _ = ba_solve(prob, iters=5)
+        np.testing.assert_allclose(np.asarray(refined.poses[0]),
+                                   np.asarray(prob.poses[0]), atol=1e-7)
+
+    def test_noisy_measurements_plateau(self, rng):
+        prob, *_ = synth_ba_problem(rng, noise_px=0.5)
+        refined, errs = ba_solve(prob, iters=10)
+        # converges to ~noise level (0.25 px^2 per dim -> ~0.25 mse)
+        assert float(errs[-1]) < 1.0
+        assert float(errs[-1]) > 0.01
+
+    def test_invalid_observations_ignored(self, rng):
+        prob, *_ = synth_ba_problem(rng)
+        # corrupt half the measurements but mark them invalid
+        bad_uv = prob.obs_uv.at[::2].add(500.0)
+        valid = jnp.asarray(np.arange(len(prob.obs_pose)) % 2 == 1)
+        prob2 = prob._replace(obs_uv=bad_uv, obs_valid=valid)
+        refined, errs = ba_solve(prob2, iters=10)
+        assert float(errs[-1]) < 1e-3
+
+    def test_sharded_matches_single_device(self, rng):
+        """Observation-sharded BA on an 8-device mesh gives the same result
+        as single-device (collectives inserted by XLA)."""
+        from ei_nexus_tpu.parallel import make_mesh, replicate
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        prob, *_ = synth_ba_problem(rng, M=4, L=64)
+        # pad observations to a multiple of 8
+        O = len(np.asarray(prob.obs_pose))
+        pad = (-O) % 8
+        def padded(a, fill=0):
+            return jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+        prob_p = prob._replace(
+            obs_pose=padded(prob.obs_pose), obs_point=padded(prob.obs_point),
+            obs_uv=padded(prob.obs_uv),
+            obs_valid=padded(prob.obs_valid, False))
+        single, errs_single = ba_solve(prob_p, iters=4)
+
+        mesh = make_mesh(data=8)
+        with jax.set_mesh(mesh):
+            obs_sharding = NamedSharding(mesh, P("data"))
+            sharded_prob = prob_p._replace(
+                obs_pose=jax.device_put(prob_p.obs_pose, obs_sharding),
+                obs_point=jax.device_put(prob_p.obs_point, obs_sharding),
+                obs_uv=jax.device_put(prob_p.obs_uv, obs_sharding),
+                obs_valid=jax.device_put(prob_p.obs_valid, obs_sharding),
+                poses=replicate(prob_p.poses, mesh),
+                points=replicate(prob_p.points, mesh),
+                intrinsics=replicate(prob_p.intrinsics, mesh),
+                fixed_poses=replicate(prob_p.fixed_poses, mesh),
+            )
+            sharded, errs_sharded = ba_solve(sharded_prob, iters=4)
+        # float summation order differs across shards: compare the
+        # trajectory above the convergence floor, then both must converge
+        np.testing.assert_allclose(np.asarray(errs_sharded[:2]),
+                                   np.asarray(errs_single[:2]), rtol=0.05)
+        assert float(errs_sharded[-1]) < 1e-6
+        assert float(errs_single[-1]) < 1e-6
+
+
+class TestPoseGraph:
+    def _ring_graph(self, rng, M=8, noise=0.05):
+        # GT poses along a line with small rotations
+        gt = np.zeros((M, 6), np.float32)
+        gt[:, 4] = np.linspace(0, 1.0, M)   # ty
+        gt[:, 1] = np.linspace(0, 0.3, M)   # wy
+        edges_i, edges_j, rels = [], [], []
+        from ei_nexus_tpu.parallel.ba import _pose_compose, _pose_inv
+        for i in range(M - 1):
+            rel = np.asarray(_pose_compose(jnp.asarray(gt[i + 1]),
+                                           _pose_inv(jnp.asarray(gt[i]))))
+            edges_i.append(i)
+            edges_j.append(i + 1)
+            rels.append(rel)
+        # loop closure
+        rel = np.asarray(_pose_compose(jnp.asarray(gt[0]),
+                                       _pose_inv(jnp.asarray(gt[M - 1]))))
+        edges_i.append(M - 1)
+        edges_j.append(0)
+        rels.append(rel)
+
+        init = gt.copy()
+        init[1:] += rng.normal(0, noise, (M - 1, 6)).astype(np.float32)
+        fixed = np.zeros(M, bool)
+        fixed[0] = True
+        return PoseGraph(
+            poses=jnp.asarray(init),
+            edge_i=jnp.asarray(edges_i, jnp.int32),
+            edge_j=jnp.asarray(edges_j, jnp.int32),
+            edge_rel=jnp.asarray(np.stack(rels), jnp.float32),
+            edge_weight=jnp.ones(len(edges_i), jnp.float32),
+            fixed=jnp.asarray(fixed),
+        ), gt
+
+    def test_reduces_residuals(self, rng):
+        g, gt = self._ring_graph(rng)
+        r0 = float(jnp.sum(pose_graph_residuals(g) ** 2))
+        solved, costs = pose_graph_solve(g, iters=100)
+        r1 = float(jnp.sum(pose_graph_residuals(solved) ** 2))
+        assert r1 < r0 * 0.05, (r0, r1)
+
+    def test_gauge_fixed(self, rng):
+        g, _ = self._ring_graph(rng)
+        solved, _ = pose_graph_solve(g, iters=10)
+        np.testing.assert_allclose(np.asarray(solved.poses[0]),
+                                   np.asarray(g.poses[0]), atol=1e-8)
+
+
+class TestSO3Log:
+    def test_roundtrip(self, rng):
+        w = rng.normal(0, 0.8, (16, 3)).astype(np.float32)
+        R = so3exp_map(jnp.asarray(w))
+        w2 = np.asarray(_so3log(R))
+        np.testing.assert_allclose(w2, w, atol=1e-4)
+
+    def test_identity(self):
+        w = np.asarray(_so3log(jnp.eye(3)))
+        np.testing.assert_allclose(w, 0.0, atol=1e-7)
