@@ -111,3 +111,21 @@ def relative_pose_error(T_0to1: Pose, R: jax.Array, t: jax.Array,
     t_err = jnp.minimum(t_err, 180.0 - t_err)
     r_err = angle_error_mat(R, T_0to1.R)
     return t_err, r_err
+
+
+def generalized_epi_dist(kpts0, kpts1, cam0: Camera, cam1: Camera,
+                         T_0to1: Pose, all_pairs: bool = True,
+                         essential: bool = True):
+    """Epipolar distances in normalized (essential) or pixel (fundamental)
+    coordinates (reference epipolar.py:76)."""
+    if essential:
+        E = T_to_E(T_0to1)
+        p0 = cam0.image2cam(kpts0)
+        p1 = cam1.image2cam(kpts1)
+        if all_pairs:
+            return sym_epipolar_distance_all(p0, p1, E)
+        return sym_epipolar_distance(p0, p1, E, squared=False)
+    F = E_to_F(cam0, cam1, T_to_E(T_0to1))
+    if all_pairs:
+        return sym_epipolar_distance_all(kpts0, kpts1, F)
+    return sym_epipolar_distance(kpts0, kpts1, F, squared=False)

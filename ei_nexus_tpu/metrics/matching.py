@@ -261,3 +261,51 @@ class RelativePoseEstimation:
         for t in self.pose_thresh:
             out[f"{self.metric_name}@{t}_auc"] = auc[f"{t}"]
         return out
+
+
+# ---------------------------------------------------------------------------
+# Assignment-level matcher metrics (reference lightglue.py:17 matcher_metrics)
+# ---------------------------------------------------------------------------
+
+
+def matcher_metrics(pred_matches0, gt_matches0, matching_scores0,
+                    prefix: str = "") -> Dict[str, np.ndarray]:
+    """Per-sample recall / precision / accuracy / ranking-AP of predicted
+    assignments vs GT labels ({idx, -1 unmatched, -2 ignore}).
+
+    pred_matches0: (B, N) predicted indices; gt_matches0: (B, N) labels;
+    matching_scores0: (B, N). Vectorized numpy (the reference computes the
+    same quantities in torch, lightglue.py:19-45).
+    """
+    m = np.asarray(pred_matches0)
+    gt = np.asarray(gt_matches0)
+    sc = np.asarray(matching_scores0)
+
+    def _div(a, b):
+        return a / (1e-8 + b)
+
+    rec_mask = (gt > -1)
+    acc_mask = (gt >= -1)
+    prec_mask = (m > -1) & (gt >= -1)
+    correct = (m == gt)
+
+    recall = _div((correct & rec_mask).sum(1), rec_mask.sum(1))
+    accuracy = _div((correct & acc_mask).sum(1), acc_mask.sum(1))
+    precision = _div((correct & prec_mask).sum(1), prec_mask.sum(1))
+
+    # ranking AP: precision-weighted recall increments in score order
+    order = np.argsort(-sc, axis=1)
+    s_tp = np.take_along_axis(correct, order, 1)
+    s_p = np.take_along_axis(prec_mask, order, 1).astype(np.float64)
+    s_r = np.take_along_axis(rec_mask, order, 1).astype(np.float64)
+    p_pts = _div(np.cumsum(s_tp * s_p, 1), np.cumsum(s_p, 1))
+    r_pts = _div(np.cumsum(s_tp * s_r, 1), s_r.sum(1, keepdims=True))
+    r_diff = np.diff(r_pts, axis=1)
+    ap = (r_diff * p_pts[:, 1:]).sum(1)
+
+    return {
+        f"{prefix}match_recall": recall,
+        f"{prefix}match_precision": precision,
+        f"{prefix}accuracy": accuracy,
+        f"{prefix}average_precision": ap,
+    }
