@@ -129,6 +129,29 @@ def smooth_score_mask(mask: jax.Array) -> jax.Array:
     return _maxpool2d(m, 1) > 0
 
 
+def _blocked_top_k(flat: jax.Array, k: int, target_block: int = 16384):
+    """Exact top-k via per-block top-k + merge.
+
+    `lax.top_k` over the full 90k-pixel map is a measurable cost (~4 ms for
+    B=8 on v5e); selecting the per-block top-k (each block >= k) and merging
+    reduces the sort volume several-fold with identical results.
+    """
+    B, N = flat.shape
+    G = max(N // target_block, 1)
+    while G > 1 and (N % G or (N // G) < k):
+        G -= 1
+    if G <= 1:
+        return jax.lax.top_k(flat, k)
+    blk = N // G
+    v = flat.reshape(B, G, blk)
+    bv, bi = jax.lax.top_k(v, k)                     # (B, G, k)
+    bi = bi + (jnp.arange(G) * blk)[None, :, None]
+    bv = bv.reshape(B, G * k)
+    bi = bi.reshape(B, G * k)
+    mv, mi = jax.lax.top_k(bv, k)
+    return mv, jnp.take_along_axis(bi, mi, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "ordering"))
 def select_topk_keypoints(
     nms_score: jax.Array,
@@ -155,7 +178,7 @@ def select_topk_keypoints(
         vals = jnp.pad(vals, ((0, 0), (0, pad)))
         idx = jnp.pad(idx, ((0, 0), (0, pad)))
     else:
-        vals_p1, idx_p1 = jax.lax.top_k(flat, k + 1)
+        vals_p1, idx_p1 = _blocked_top_k(flat, k + 1)
         vals, idx = vals_p1[:, :k], idx_p1[:, :k]
         # torch.quantile((HW-k)/HW, midpoint) == mean of k-th/(k+1)-th largest
         thresh = (vals_p1[:, k - 1:k] + vals_p1[:, k:k + 1]) / 2.0
