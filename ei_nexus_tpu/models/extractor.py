@@ -48,7 +48,7 @@ class KeypointExtractorConfig:
     smooth_mask: bool = True          # 3x3-dilate the event mask before use
     coord_offset: float = 0.0         # +9.0 for the padding=0 NP variant
     sparse_desc_from: str = "lowres"  # "lowres" (cell 8) | "fullres" (cell 1)
-    nms_impl: str = "xla"             # "xla" | "pallas"
+    nms_impl: str = "auto"            # "auto" | "xla" | "pallas"
 
 
 def extract_keypoints(
