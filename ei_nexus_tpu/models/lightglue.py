@@ -41,6 +41,8 @@ class LightGlueConfig:
     gamma: float = 1.0           # deep-supervision layer weighting (loss)
     nll_balancing: float = 0.5   # (loss)
     dtype: str = "float32"       # compute dtype of dense/attention layers
+    shard_heads: bool = False    # tensor-parallel: shard attention heads
+                                 # over the mesh's "model" axis
 
 
 def normalize_keypoints(kpts: jax.Array, size: jax.Array) -> jax.Array:
@@ -81,11 +83,33 @@ class FourierPositionalEncoding(nn.Module):
         return cos[:, None], sin[:, None]
 
 
-def _attention(q, k, v, kv_mask: Optional[jax.Array]) -> jax.Array:
+def _head_sharding():
+    """PartitionSpec ('data', 'model') for (B, h, N, d) tensors when a
+    mesh with a 'model' axis is active — XLA then keeps the per-head
+    attention local to each model-shard and all-gathers only the merged
+    message (tensor parallelism over heads)."""
+    from jax.sharding import PartitionSpec as P
+    return P("data", "model")
+
+
+def _maybe_shard_heads(t: jax.Array, enable: bool) -> jax.Array:
+    if not enable:
+        return t
+    try:
+        return jax.lax.with_sharding_constraint(t, _head_sharding())
+    except (ValueError, RuntimeError):
+        return t  # no mesh / no model axis: no-op
+
+
+def _attention(q, k, v, kv_mask: Optional[jax.Array],
+               shard_heads: bool = False) -> jax.Array:
     """(B, h, N, d) attention; kv_mask (B, M) masks keys.
 
     Mixed precision: QK^T and PV run in the operand dtype (bf16 on TPU)
     with f32 accumulation; the softmax is always f32."""
+    q = _maybe_shard_heads(q, shard_heads)
+    k = _maybe_shard_heads(k, shard_heads)
+    v = _maybe_shard_heads(v, shard_heads)
     scale = q.shape[-1] ** -0.5
     sim = jnp.einsum("bhid,bhjd->bhij", q, k,
                      preferred_element_type=jnp.float32) * scale
@@ -100,6 +124,7 @@ class SelfBlock(nn.Module):
     embed_dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    shard_heads: bool = False
 
     @nn.compact
     def __call__(self, x, encoding, kv_mask=None):
@@ -111,7 +136,7 @@ class SelfBlock(nn.Module):
         q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
         q = apply_rotary(encoding, q)
         k = apply_rotary(encoding, k)
-        ctx = _attention(q, k, v, kv_mask)
+        ctx = _attention(q, k, v, kv_mask, self.shard_heads)
         message = ctx.transpose(0, 2, 1, 3).reshape(B, N, self.embed_dim)
         message = nn.Dense(self.embed_dim, dtype=self.dtype,
                            name="out_proj")(message)
@@ -130,6 +155,7 @@ class CrossBlock(nn.Module):
     embed_dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    shard_heads: bool = False
 
     @nn.compact
     def __call__(self, x0, x1, mask0=None, mask1=None):
@@ -144,10 +170,12 @@ class CrossBlock(nn.Module):
         def split(t, n):
             return t.reshape(B, n, h, hd).transpose(0, 2, 1, 3)
 
-        qk0 = split(to_qk(x0), N) * scale ** 0.5
-        qk1 = split(to_qk(x1), M) * scale ** 0.5
-        v0 = split(to_v(x0), N)
-        v1 = split(to_v(x1), M)
+        qk0 = _maybe_shard_heads(split(to_qk(x0), N) * scale ** 0.5,
+                                 self.shard_heads)
+        qk1 = _maybe_shard_heads(split(to_qk(x1), M) * scale ** 0.5,
+                                 self.shard_heads)
+        v0 = _maybe_shard_heads(split(to_v(x0), N), self.shard_heads)
+        v1 = _maybe_shard_heads(split(to_v(x1), M), self.shard_heads)
 
         sim = jnp.einsum("bhid,bhjd->bhij", qk0, qk1,
                          preferred_element_type=jnp.float32)
@@ -184,13 +212,17 @@ class TransformerLayer(nn.Module):
     embed_dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    shard_heads: bool = False
 
     @nn.compact
     def __call__(self, desc0, desc1, enc0, enc1, mask0=None, mask1=None):
         self_attn = SelfBlock(self.embed_dim, self.num_heads,
-                              dtype=self.dtype, name="self_attn")
+                              dtype=self.dtype,
+                              shard_heads=self.shard_heads, name="self_attn")
         cross_attn = CrossBlock(self.embed_dim, self.num_heads,
-                                dtype=self.dtype, name="cross_attn")
+                                dtype=self.dtype,
+                                shard_heads=self.shard_heads,
+                                name="cross_attn")
         desc0 = self_attn(desc0, enc0, mask0)
         desc1 = self_attn(desc1, enc1, mask1)
         return cross_attn(desc0, desc1, mask0, mask1)
@@ -288,6 +320,7 @@ class LightGlue(nn.Module):
         for i in range(cfg.n_layers):
             desc0, desc1 = TransformerLayer(
                 cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
+                shard_heads=cfg.shard_heads,
                 name=f"transformers_{i}")(desc0, desc1, enc0, enc1,
                                           mask0, mask1)
             head = MatchAssignment(cfg.descriptor_dim,

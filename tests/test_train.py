@@ -32,11 +32,15 @@ H, W, BINS, KPTS = 48, 64, 4, 32
 
 
 def small_config(matcher="MNN", freeze_matcher=True):
+    # stage-2 (LightGlue training) freezes both extractors like the real
+    # configs; stage-1 trains the event extractor
+    freeze_event = (matcher == "LightGlue")
     k = KeypointExtractorConfig(detection_top_k=KPTS)
     return EIMConfig(
         event_extractor=ExtractorSpec(type="vgg", in_channels=BINS,
                                       feat_channels=16, descriptor_dim=24,
-                                      lat_channels=24, keypoints=k),
+                                      lat_channels=24, freeze=freeze_event,
+                                      keypoints=k),
         image_extractor=ExtractorSpec(type="superpointv1", freeze=True,
                                       descriptor_dim=24, keypoints=k),
         matcher=MatcherConfig(
