@@ -43,6 +43,9 @@ class LightGlueConfig:
     dtype: str = "float32"       # compute dtype of dense/attention layers
     shard_heads: bool = False    # tensor-parallel: shard attention heads
                                  # over the mesh's "model" axis
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas": fused Pallas
+                                  # attention (inference only; XLA used for
+                                  # training/backprop and when shard_heads)
 
 
 def normalize_keypoints(kpts: jax.Array, size: jax.Array) -> jax.Array:
@@ -102,7 +105,16 @@ def _maybe_shard_heads(t: jax.Array, enable: bool) -> jax.Array:
 
 
 def _attention(q, k, v, kv_mask: Optional[jax.Array],
-               shard_heads: bool = False) -> jax.Array:
+               shard_heads: bool = False,
+               use_pallas: bool = False) -> jax.Array:
+    if use_pallas:
+        from ..ops.pallas_attention import self_attention
+        return self_attention(q, k, v, kv_mask)  # kernel applies the scale
+    return _attention_xla(q, k, v, kv_mask, shard_heads)
+
+
+def _attention_xla(q, k, v, kv_mask: Optional[jax.Array],
+                   shard_heads: bool = False) -> jax.Array:
     """(B, h, N, d) attention; kv_mask (B, M) masks keys.
 
     Mixed precision: QK^T and PV run in the operand dtype (bf16 on TPU)
@@ -125,6 +137,7 @@ class SelfBlock(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     shard_heads: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, encoding, kv_mask=None):
@@ -136,7 +149,8 @@ class SelfBlock(nn.Module):
         q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
         q = apply_rotary(encoding, q)
         k = apply_rotary(encoding, k)
-        ctx = _attention(q, k, v, kv_mask, self.shard_heads)
+        ctx = _attention(q, k, v, kv_mask, self.shard_heads,
+                         self.use_pallas)
         message = ctx.transpose(0, 2, 1, 3).reshape(B, N, self.embed_dim)
         message = nn.Dense(self.embed_dim, dtype=self.dtype,
                            name="out_proj")(message)
@@ -156,6 +170,7 @@ class CrossBlock(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     shard_heads: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x0, x1, mask0=None, mask1=None):
@@ -177,18 +192,24 @@ class CrossBlock(nn.Module):
         v0 = _maybe_shard_heads(split(to_v(x0), N), self.shard_heads)
         v1 = _maybe_shard_heads(split(to_v(x1), M), self.shard_heads)
 
-        sim = jnp.einsum("bhid,bhjd->bhij", qk0, qk1,
-                         preferred_element_type=jnp.float32)
-        if mask0 is not None and mask1 is not None:
-            joint = mask0[:, None, :, None] & mask1[:, None, None, :]
-            sim = jnp.where(joint, sim, _MASK_BIAS)
-        attn01 = jax.nn.softmax(sim, axis=-1).astype(v1.dtype)
-        attn10 = jax.nn.softmax(
-            jnp.swapaxes(sim, -1, -2), axis=-1).astype(v0.dtype)
-        m0 = jnp.einsum("bhij,bhjd->bhid", attn01, v1,
-                        preferred_element_type=jnp.float32).astype(v1.dtype)
-        m1 = jnp.einsum("bhij,bhjd->bhid", attn10, v0,
-                        preferred_element_type=jnp.float32).astype(v0.dtype)
+        if self.use_pallas:
+            from ..ops.pallas_attention import cross_attention_bidir
+            m0, m1 = cross_attention_bidir(qk0, qk1, v0, v1, mask0, mask1)
+        else:
+            sim = jnp.einsum("bhid,bhjd->bhij", qk0, qk1,
+                             preferred_element_type=jnp.float32)
+            if mask0 is not None and mask1 is not None:
+                joint = mask0[:, None, :, None] & mask1[:, None, None, :]
+                sim = jnp.where(joint, sim, _MASK_BIAS)
+            attn01 = jax.nn.softmax(sim, axis=-1).astype(v1.dtype)
+            attn10 = jax.nn.softmax(
+                jnp.swapaxes(sim, -1, -2), axis=-1).astype(v0.dtype)
+            m0 = jnp.einsum("bhij,bhjd->bhid", attn01, v1,
+                            preferred_element_type=jnp.float32
+                            ).astype(v1.dtype)
+            m1 = jnp.einsum("bhij,bhjd->bhid", attn10, v0,
+                            preferred_element_type=jnp.float32
+                            ).astype(v0.dtype)
 
         def merge(t, n):
             return t.transpose(0, 2, 1, 3).reshape(B, n, self.embed_dim)
@@ -213,15 +234,18 @@ class TransformerLayer(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     shard_heads: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, desc0, desc1, enc0, enc1, mask0=None, mask1=None):
         self_attn = SelfBlock(self.embed_dim, self.num_heads,
                               dtype=self.dtype,
-                              shard_heads=self.shard_heads, name="self_attn")
+                              shard_heads=self.shard_heads,
+                              use_pallas=self.use_pallas, name="self_attn")
         cross_attn = CrossBlock(self.embed_dim, self.num_heads,
                                 dtype=self.dtype,
                                 shard_heads=self.shard_heads,
+                                use_pallas=self.use_pallas,
                                 name="cross_attn")
         desc0 = self_attn(desc0, enc0, mask0)
         desc1 = self_attn(desc1, enc1, mask1)
@@ -314,13 +338,19 @@ class LightGlue(nn.Module):
         enc0 = tuple(e.astype(compute_dtype) for e in posenc(nk0))
         enc1 = tuple(e.astype(compute_dtype) for e in posenc(nk1))
 
+        impl = cfg.attention_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        use_pallas = (impl == "pallas" and not training
+                      and not cfg.shard_heads)
+
         all_scores = []
         conf_logits0, conf_logits1 = [], []
         scores = sim = None
         for i in range(cfg.n_layers):
             desc0, desc1 = TransformerLayer(
                 cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
-                shard_heads=cfg.shard_heads,
+                shard_heads=cfg.shard_heads, use_pallas=use_pallas,
                 name=f"transformers_{i}")(desc0, desc1, enc0, enc1,
                                           mask0, mask1)
             head = MatchAssignment(cfg.descriptor_dim,

@@ -269,3 +269,47 @@ class TestStepTimer:
         s = t.stats()
         assert s["steps_per_s"] > 0
         assert "step_time_p95_s" in s
+
+
+class TestFlow:
+    def test_lazy_evaluation_and_tape(self):
+        from ei_nexus_tpu.utils.flow import Flow
+        calls = []
+
+        flow = Flow("x")
+        flow.define_transition("y", lambda x: calls.append("y") or x * 2, "x")
+        flow.define_transition("z", lambda x, y: calls.append("z") or x + y,
+                               "x", "y")
+        flow.define_transition("unused", lambda x: calls.append("u") or -x,
+                               "x")
+        assert flow("z", x=3) == 9
+        assert calls == ["y", "z"]  # "unused" never ran
+        assert flow.get_tape(["z"]) == ["y", "z"]
+
+    def test_multi_output_and_jit(self):
+        from ei_nexus_tpu.utils.flow import Flow
+        import jax
+        flow = Flow("a", "b")
+        flow.define_transition("s", lambda a, b: a + b, "a", "b")
+        flow.define_transition("p", lambda s, a: s * a, "s", "a")
+        y, p = flow(("s", "p"), a=jnp.asarray(2.0), b=jnp.asarray(3.0))
+        assert float(y) == 5.0 and float(p) == 10.0
+        f = jax.jit(lambda a, b: flow("p", a=a, b=b))
+        assert float(f(2.0, 3.0)) == 10.0
+
+    def test_cycle_and_unknown(self):
+        from ei_nexus_tpu.utils.flow import Flow
+        flow = Flow("x")
+        flow.define_transition("a", lambda b: b, "b")
+        flow.define_transition("b", lambda a: a, "a")
+        with pytest.raises(ValueError):
+            flow("a", x=1)
+        with pytest.raises(KeyError):
+            flow("nope", x=1)
+
+    def test_auto_forward(self):
+        from ei_nexus_tpu.utils.flow import Flow, AutoForward
+        flow = Flow("x")
+        flow.define_transition("y", lambda x: x + 1, "x")
+        m = AutoForward(flow, "y")
+        assert m.forward_flow(x=4) == 5
