@@ -191,3 +191,52 @@ class TestSO3Log:
     def test_identity(self):
         w = np.asarray(_so3log(jnp.eye(3)))
         np.testing.assert_allclose(w, 0.0, atol=1e-7)
+
+
+class TestSLAMAssembly:
+    def test_tracks_and_refinement(self, rng):
+        """Synthetic 4-keyframe scene: noisy poses + exact matches ->
+        track chaining -> triangulation -> BA recovers the structure."""
+        from ei_nexus_tpu.parallel.slam import (Keyframe, chain_tracks,
+                                                refine_map)
+        K = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]])
+        M, L = 4, 60
+        X = rng.uniform([-1.5, -1, 4], [1.5, 1, 7], (L, 3))
+        kfs, all_uv = [], []
+        for m in range(M):
+            t = np.array([0.25 * m, 0.0, 0.0])
+            pose = np.eye(4)
+            pose[:3, 3] = -t  # world->camera of a camera at +t
+            Xc = X - t
+            uv = (K @ Xc.T).T
+            uv = uv[:, :2] / uv[:, 2:]
+            kps = np.concatenate(
+                [uv[:, ::-1], np.ones((L, 1))], 1).astype(np.float32)  # yx
+            noisy = pose.copy()
+            if m > 0:
+                noisy[:3, 3] += rng.normal(0, 0.02, 3)
+            kfs.append(Keyframe(keypoints=kps, valid=np.ones(L, bool),
+                                pose=noisy, K=K))
+            all_uv.append(uv)
+        # exact identity matches between consecutive frames
+        matches01 = [np.arange(L) for _ in range(M - 1)]
+
+        tracks = chain_tracks(matches01, L)
+        assert len(tracks) == L
+        assert all(len(t) == M for t in tracks)
+
+        refined, errs = refine_map(kfs, matches01, iters=8)
+        assert refined is not None
+        assert errs[0] > 0.3         # noisy init has visible reprojection
+        assert errs[-1] < 1e-2       # BA converges
+        # refined structure matches GT up to the fixed-gauge frame
+        np.testing.assert_allclose(np.asarray(refined.points), X, atol=0.05)
+
+    def test_partial_matches(self, rng):
+        from ei_nexus_tpu.parallel.slam import chain_tracks
+        m01 = np.array([1, -1, 0])
+        m12 = np.array([2, 0, -1])
+        tracks = chain_tracks([m01, m12], 3)
+        # kp0:0 -> kp1:1 -> kp2:0 ; kp0:2 -> kp1:0 -> kp2:2
+        lens = sorted(len(t) for t in tracks)
+        assert lens == [3, 3]
