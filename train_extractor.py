@@ -24,6 +24,30 @@ import jax
 import numpy as np
 
 
+class GracefulShutdown:
+    """SIGTERM/SIGINT -> finish the current step, checkpoint, exit.
+
+    The reference has no preemption handling (SURVEY.md §5); crash recovery
+    there is a manual restart. Here a termination request flips a flag the
+    epoch loop checks each step, so preempted jobs save a resumable
+    checkpoint."""
+
+    def __init__(self):
+        import signal
+        self.requested = False
+
+        def handler(signum, frame):
+            self.requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass  # non-main thread
+
+
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config",
@@ -120,6 +144,7 @@ def main(argv=None):
     freeze = freeze_mask(state.params, frozen_roots_from_config(model_cfg))
     step_fn = make_stage1_train_step(model, losses, freeze, rep, bins, H, W)
 
+    shutdown = GracefulShutdown()
     mesh = make_mesh()
     state = replicate(state, mesh)
 
@@ -140,7 +165,8 @@ def main(argv=None):
                         global_step,
                         {k: float(v) for k, v in info.items()},
                         prefix=f"[stage1 e{epoch}] ")
-                if args.max_steps and global_step >= args.max_steps:
+                if shutdown.requested or (
+                        args.max_steps and global_step >= args.max_steps):
                     break
             logger.log_info(
                 f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
@@ -150,6 +176,13 @@ def main(argv=None):
                     os.path.join(logger.run_dir, "checkpoints"), state,
                     epoch + 1)
                 logger.log_info(f"checkpoint saved: {path}")
+            if shutdown.requested:
+                if jax.process_index() == 0:
+                    path = save_checkpoint(
+                        os.path.join(logger.run_dir, "checkpoints"), state,
+                        epoch, name="preempted")
+                    logger.log_info(f"shutdown requested; saved {path}")
+                break
             if args.max_steps and global_step >= args.max_steps:
                 break
     if jax.process_index() == 0:

@@ -21,6 +21,30 @@ import jax
 import numpy as np
 
 
+class GracefulShutdown:
+    """SIGTERM/SIGINT -> finish the current step, checkpoint, exit.
+
+    The reference has no preemption handling (SURVEY.md §5); crash recovery
+    there is a manual restart. Here a termination request flips a flag the
+    epoch loop checks each step, so preempted jobs save a resumable
+    checkpoint."""
+
+    def __init__(self):
+        import signal
+        self.requested = False
+
+        def handler(signum, frame):
+            self.requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass  # non-main thread
+
+
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/train_EIM_stage2.yaml")
@@ -104,6 +128,7 @@ def main(argv=None):
         pos_th=gtc.get("pos_th", 3.0), neg_th=gtc.get("neg_th", 5.0),
         gamma=lgc.gamma, nll_balancing=lgc.nll_balancing)
 
+    shutdown = GracefulShutdown()
     mesh = make_mesh()
     state = replicate(state, mesh)
     global_step = int(state.step)
@@ -122,13 +147,21 @@ def main(argv=None):
                         global_step,
                         {k: float(v) for k, v in info.items()},
                         prefix=f"[stage2 e{epoch}] ")
-                if args.max_steps and global_step >= args.max_steps:
+                if shutdown.requested or (
+                        args.max_steps and global_step >= args.max_steps):
                     break
             logger.log_info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
             if jax.process_index() == 0 and (
                     (epoch + 1) % tcfg.get("checkpoint_freq", 5) == 0):
                 save_checkpoint(os.path.join(logger.run_dir, "checkpoints"),
                                 state, epoch + 1)
+            if shutdown.requested:
+                if jax.process_index() == 0:
+                    path = save_checkpoint(
+                        os.path.join(logger.run_dir, "checkpoints"), state,
+                        epoch, name="preempted")
+                    logger.log_info(f"shutdown requested; saved {path}")
+                break
             if args.max_steps and global_step >= args.max_steps:
                 break
     if jax.process_index() == 0:
