@@ -340,7 +340,11 @@ class LightGlue(nn.Module):
 
         impl = cfg.attention_impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # NOTE: pallas attention is correct (see tests) but compiling 27
+            # pallas calls through the remote-compile tunnel is currently
+            # impractically slow; keep XLA until per-kernel compile caching
+            # lands. Opt in with attention_impl="pallas".
+            impl = "xla"
         use_pallas = (impl == "pallas" and not training
                       and not cfg.shard_heads)
 
