@@ -33,6 +33,8 @@ A800_BASELINE_PAIRS_PER_S = 20.0
 def main():
     import jax
     import jax.numpy as jnp
+    from ei_nexus_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from __graft_entry__ import _flagship
     from ei_nexus_tpu.train.steps import batch_representation
 

@@ -46,6 +46,10 @@ class LightGlueConfig:
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas": fused Pallas
                                   # attention (inference only; XLA used for
                                   # training/backprop and when shard_heads)
+    scan_layers: bool = False    # lax.scan over the 9 identical layers:
+                                 # one compiled layer body instead of nine
+                                 # (param tree gains a leading layer axis;
+                                 # see stack_lightglue_params)
 
 
 def normalize_keypoints(kpts: jax.Array, size: jax.Array) -> jax.Array:
@@ -351,28 +355,35 @@ class LightGlue(nn.Module):
         all_scores = []
         conf_logits0, conf_logits1 = [], []
         scores = sim = None
-        for i in range(cfg.n_layers):
-            desc0, desc1 = TransformerLayer(
-                cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
-                shard_heads=cfg.shard_heads, use_pallas=use_pallas,
-                name=f"transformers_{i}")(desc0, desc1, enc0, enc1,
-                                          mask0, mask1)
-            head = MatchAssignment(cfg.descriptor_dim,
-                                   name=f"log_assignment_{i}")
-            d0f = desc0.astype(jnp.float32)
-            d1f = desc1.astype(jnp.float32)
+        if cfg.scan_layers:
+            scores, sim, extras = self._scanned_layers(
+                desc0, desc1, enc0, enc1, mask0, mask1, compute_dtype,
+                use_pallas, training)
             if training:
-                scores, sim = head(d0f, d1f)
-                all_scores.append(scores)
-            elif i == cfg.n_layers - 1:
-                scores, sim = head(d0f, d1f)
-            if i < cfg.n_layers - 1:
-                token = nn.Dense(1, name=f"token_confidence_{i}")
+                all_la, conf0, conf1 = extras
+        else:
+            for i in range(cfg.n_layers):
+                desc0, desc1 = TransformerLayer(
+                    cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
+                    shard_heads=cfg.shard_heads, use_pallas=use_pallas,
+                    name=f"transformers_{i}")(desc0, desc1, enc0, enc1,
+                                              mask0, mask1)
+                head = MatchAssignment(cfg.descriptor_dim,
+                                       name=f"log_assignment_{i}")
+                d0f = desc0.astype(jnp.float32)
+                d1f = desc1.astype(jnp.float32)
                 if training:
-                    conf_logits0.append(
-                        token(jax.lax.stop_gradient(d0f))[..., 0])
-                    conf_logits1.append(
-                        token(jax.lax.stop_gradient(d1f))[..., 0])
+                    scores, sim = head(d0f, d1f)
+                    all_scores.append(scores)
+                elif i == cfg.n_layers - 1:
+                    scores, sim = head(d0f, d1f)
+                if i < cfg.n_layers - 1:
+                    token = nn.Dense(1, name=f"token_confidence_{i}")
+                    if training:
+                        conf_logits0.append(
+                            token(jax.lax.stop_gradient(d0f))[..., 0])
+                        conf_logits1.append(
+                            token(jax.lax.stop_gradient(d1f))[..., 0])
 
         m0, m1, ms0, ms1 = filter_matches(scores, cfg.filter_threshold)
         if mask0 is not None:
@@ -392,10 +403,64 @@ class LightGlue(nn.Module):
         }
         if training:
             # (B, L, N+1, M+1) per-layer assignments for deep supervision
-            out["all_log_assignments"] = jnp.stack(all_scores, axis=1)
-            out["confidence_logits0"] = jnp.stack(conf_logits0, axis=1)
-            out["confidence_logits1"] = jnp.stack(conf_logits1, axis=1)
+            if cfg.scan_layers:
+                out["all_log_assignments"] = all_la
+                out["confidence_logits0"] = conf0
+                out["confidence_logits1"] = conf1
+            else:
+                out["all_log_assignments"] = jnp.stack(all_scores, axis=1)
+                out["confidence_logits0"] = jnp.stack(conf_logits0, axis=1)
+                out["confidence_logits1"] = jnp.stack(conf_logits1, axis=1)
         return out
+
+    def _scanned_layers(self, desc0, desc1, enc0, enc1, mask0, mask1,
+                        compute_dtype, use_pallas, training):
+        """lax.scan over the transformer stack + vmapped per-layer heads.
+
+        One compiled layer body (and only two unique Pallas attention
+        kernels) instead of n_layers copies — an order of magnitude off
+        compile times; identical math to the unrolled path. Param tree:
+        layers/..., log_assignment/... with a leading (L,) axis."""
+        cfg = self.config
+        L = cfg.n_layers
+
+        class Body(nn.Module):
+            @nn.compact
+            def __call__(self2, carry, _):
+                d0, d1 = carry
+                d0, d1 = TransformerLayer(
+                    cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
+                    shard_heads=cfg.shard_heads, use_pallas=use_pallas,
+                    name="layer")(d0, d1, enc0, enc1, mask0, mask1)
+                return (d0, d1), (d0, d1)
+
+        Scanned = nn.scan(Body, variable_axes={"params": 0},
+                          split_rngs={"params": True}, length=L)
+        (_, _), (stack0, stack1) = Scanned(name="layers")(
+            (desc0, desc1), None)
+        # (L, B, N, D) all-layer descriptors
+        stack0 = stack0.astype(jnp.float32)
+        stack1 = stack1.astype(jnp.float32)
+
+        VAssign = nn.vmap(MatchAssignment, variable_axes={"params": 0},
+                          split_rngs={"params": True}, in_axes=0, out_axes=0,
+                          axis_size=L)
+        all_scores, all_sim = VAssign(cfg.descriptor_dim,
+                                      name="log_assignment")(stack0, stack1)
+        scores = all_scores[-1]
+        sim = all_sim[-1]
+        extras = None
+        if training:
+            VToken = nn.vmap(nn.Dense, variable_axes={"params": 0},
+                             split_rngs={"params": True}, in_axes=0,
+                             out_axes=0, axis_size=L - 1)
+            token = VToken(1, name="token_confidence")
+            conf0 = token(jax.lax.stop_gradient(stack0[:-1]))[..., 0]
+            conf1 = token(jax.lax.stop_gradient(stack1[:-1]))[..., 0]
+            extras = (jnp.swapaxes(all_scores, 0, 1),
+                      jnp.swapaxes(conf0, 0, 1),
+                      jnp.swapaxes(conf1, 0, 1))
+        return scores, sim, extras
 
 
 # ---------------------------------------------------------------------------
@@ -458,3 +523,29 @@ def load_lightglue_torch_weights(state_dict,
             params[f"token_confidence_{i}"] = _dense(
                 sd, f"token_confidence.{i}.token.0")
     return {"params": params}
+
+
+def stack_lightglue_params(params: Dict[str, Any],
+                           n_layers: int) -> Dict[str, Any]:
+    """Convert unrolled per-layer params (transformers_{i} /
+    log_assignment_{i} / token_confidence_{i}) to the scan_layers layout
+    (layers/layer, log_assignment, token_confidence with a leading (L,)
+    axis). Lets torch-ported or previously trained checkpoints run in
+    scanned mode."""
+    import jax
+
+    def stack(trees):
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+    out = {k: v for k, v in params.items()
+           if not (k.startswith("transformers_")
+                   or k.startswith("log_assignment_")
+                   or k.startswith("token_confidence_"))}
+    out["layers"] = {"layer": stack(
+        [params[f"transformers_{i}"] for i in range(n_layers)])}
+    out["log_assignment"] = stack(
+        [params[f"log_assignment_{i}"] for i in range(n_layers)])
+    if f"token_confidence_0" in params:
+        out["token_confidence"] = stack(
+            [params[f"token_confidence_{i}"] for i in range(n_layers - 1)])
+    return out

@@ -38,6 +38,8 @@ def main(argv=None):
     cfg = load_config(args.config, args.overrides)
     from ei_nexus_tpu.utils.platform import apply_platform
     apply_platform(cfg.get("device"))
+    from ei_nexus_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     ds_cfg = cfg.dataset.to_dict()
     H, W = ds_cfg["resolution"]
     bins, rep = ds_cfg["channel"], ds_cfg["representation_type"]

@@ -75,6 +75,8 @@ def main(argv=None):
     cfg = load_config(args.config, args.overrides)
     from ei_nexus_tpu.utils.platform import apply_platform
     apply_platform(cfg.get("device"))
+    from ei_nexus_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     logger = Logger(cfg.get("experiment", "stage2"),
                     status_freq=cfg.get("status_freq", 50))
     save_config(cfg, os.path.join(logger.run_dir, "config.yaml"))
