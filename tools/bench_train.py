@@ -29,6 +29,8 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+    from ei_nexus_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from __graft_entry__ import _flagship
     from ei_nexus_tpu.train import (build_optimizer, create_train_state,
                                     freeze_mask)
