@@ -297,3 +297,34 @@ class TestDescriptorSampling:
         assert out.shape == (2, 20, 8)
         np.testing.assert_allclose(np.asarray(out[0, 7]),
                                    np.asarray(d[0, 1, 2]))
+
+
+class TestCoordinateMappings:
+    def test_conv_identity_same(self):
+        from ei_nexus_tpu.ops.coords import conv2d_mapping
+        m = conv2d_mapping(3, padding=1)
+        assert m.scale == 1.0 and m.offset == 0.0
+
+    def test_valid_conv_offset(self):
+        from ei_nexus_tpu.ops.coords import conv2d_mapping
+        m = conv2d_mapping(3, padding=0)
+        assert m.offset == 1.0  # output center 0 sits at input center 1
+
+    def test_vgg_np_padding0_gives_plus9(self):
+        """The principled derivation of the reference's hardcoded +9 remap
+        (EventExtractors.py:319-329)."""
+        from ei_nexus_tpu.ops.coords import vgg_np_padding0_mapping
+        m = vgg_np_padding0_mapping()
+        assert m.scale == 1.0
+        assert m.offset == 9.0
+
+    def test_cell8_stride_and_center(self):
+        from ei_nexus_tpu.ops.coords import vgg_cell8_mapping
+        m = vgg_cell8_mapping()
+        assert m.scale == 8.0
+        assert m.offset == 3.5  # cell center
+
+    def test_roundtrip(self):
+        from ei_nexus_tpu.ops.coords import vgg_cell8_mapping
+        m = vgg_cell8_mapping()
+        assert m.to_feature(m.to_image(5.0)) == 5.0
