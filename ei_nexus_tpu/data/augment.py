@@ -128,3 +128,91 @@ class PairAugmentation:
         if mask is not None:
             return arrs[0], arrs[1], arrs[2]
         return arrs[0], arrs[1], None
+
+
+class PairAugmentationEvents:
+    """Pair augmentation applied to RAW events + image (flip / rotate /
+    crop with one shared transform).
+
+    The reference's PairAugmentation acts on the rasterized maps
+    (events_rep, image, events_image); this framework rasterizes on device,
+    so the same geometric transform is applied to the event COORDINATES and
+    the image instead — equivalent output voxel grids (up to rasterization
+    of rotated bilinear footprints) without materializing maps on the host.
+    Single-view (same-time) training only, like the reference
+    (augment_pair=True path). K / pose are intentionally left untouched:
+    same-time pairs have identity relative pose, so the GT correspondence
+    is the identity map regardless of intrinsics (the reference likewise
+    augments only the rasterized maps).
+    """
+
+    def __init__(self, crop_size: Tuple[int, int], flip_p_h: float = 0.5,
+                 flip_p_w: float = 0.5, rotate_angle: float = 10.0,
+                 rng: Optional[np.random.Generator] = None):
+        self.crop_size = tuple(crop_size)
+        self.flip_p_h = flip_p_h
+        self.flip_p_w = flip_p_w
+        self.rotate_angle = rotate_angle
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """sample: view dict with events_x/y (padded), events_valid, image
+        (H, W, 1) [+ depth/depth_mask]. Returns a new dict with the crop's
+        resolution."""
+        import cv2
+        rng = self.rng
+        out = dict(sample)
+        H, W = sample["image"].shape[:2]
+        x = sample["events_x"].copy()
+        y = sample["events_y"].copy()
+        image = sample["image"][..., 0].astype(np.float32)
+        depth = out.get("depth")
+        dmask = out.get("depth_mask")
+
+        flip_h = rng.uniform() < self.flip_p_h
+        flip_w = rng.uniform() < self.flip_p_w
+        if flip_h:
+            y = (H - 1) - y
+            image = image[::-1]
+            if depth is not None:
+                depth = depth[::-1]
+                dmask = dmask[::-1]
+        if flip_w:
+            x = (W - 1) - x
+            image = image[:, ::-1]
+            if depth is not None:
+                depth = depth[:, ::-1]
+                dmask = dmask[:, ::-1]
+
+        angle = rng.uniform(-self.rotate_angle, self.rotate_angle)
+        cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+        ca, sa = np.cos(np.radians(angle)), np.sin(np.radians(angle))
+        # rotate event coords by +angle about the center (image rotated with
+        # the same convention via cv2.getRotationMatrix2D)
+        xr = ca * (x - cx) + sa * (y - cy) + cx
+        yr = -sa * (x - cx) + ca * (y - cy) + cy
+        M = cv2.getRotationMatrix2D((cx, cy), angle, 1.0)
+        image = cv2.warpAffine(np.ascontiguousarray(image), M, (W, H),
+                               flags=cv2.INTER_LINEAR, borderValue=0.0)
+        if depth is not None:
+            depth = cv2.warpAffine(np.ascontiguousarray(depth), M, (W, H),
+                                   flags=cv2.INTER_NEAREST, borderValue=0.0)
+            dmask = cv2.warpAffine(
+                np.ascontiguousarray(dmask.astype(np.uint8)), M, (W, H),
+                flags=cv2.INTER_NEAREST, borderValue=0) > 0
+
+        ch, cw = self.crop_size
+        ch, cw = min(ch, H), min(cw, W)
+        top = int(rng.integers(0, H - ch + 1))
+        left = int(rng.integers(0, W - cw + 1))
+        xr = xr - left
+        yr = yr - top
+        inb = (xr >= 0) & (xr < cw) & (yr >= 0) & (yr < ch)
+        out["events_x"] = np.where(inb, xr, -1.0).astype(np.float32)
+        out["events_y"] = np.where(inb, yr, -1.0).astype(np.float32)
+        out["events_valid"] = sample["events_valid"] & inb
+        out["image"] = image[top:top + ch, left:left + cw, None]
+        if depth is not None:
+            out["depth"] = depth[top:top + ch, left:left + cw]
+            out["depth_mask"] = dmask[top:top + ch, left:left + cw]
+        return out

@@ -30,7 +30,7 @@ import numpy as np
 
 from .interpolator import PoseInterpolator, T_to_Rt
 from .augment import EventPointsAugmentation, ImageArrayAugmentation, \
-    PairAugmentation
+    PairAugmentation, PairAugmentationEvents
 from .representations import pad_events
 
 RESOLUTION = (346, 260)  # (W, H)
@@ -215,7 +215,7 @@ class MVSECPairDataset:
                  event_dt: float = 0.4, max_events: int = 1 << 18,
                  mode: str = "single",
                  index_files: Optional[Sequence[str]] = None,
-                 augment: Optional[PairAugmentation] = None,
+                 augment: Optional[PairAugmentationEvents] = None,
                  seed: int = 0):
         assert mode in ("single", "random_pair", "index_pairs")
         archive = MVSECArchive(data_path)
@@ -258,6 +258,10 @@ class MVSECPairDataset:
             i0 = i1 = local
         data0 = seq.view(int(i0), self.event_dt, self.max_events)
         if self.mode == "single":
+            if self.augment is not None:
+                # pair augmentation applies only to same-time training
+                # views (reference augment_pair=True path)
+                data0 = self.augment(data0)
             data1 = data0
             T01 = np.eye(4, dtype=np.float32)
             T10 = np.eye(4, dtype=np.float32)
@@ -289,8 +293,16 @@ def fetch_mvsec_dataset(cfg: Dict[str, Any], split: str) -> MVSECPairDataset:
                                     index_files=files)
         mode = ("random_pair" if cfg.get("select_matching_pair")
                 else "single")
+        aug = None
+        pa = cfg.get("train", {}).get("pair_aug")
+        if mode == "single" and pa and cfg.get("use_aug", True):
+            aug = PairAugmentationEvents(
+                crop_size=pa.get("crop_size", [256, 256]),
+                flip_p_h=pa.get("flip_p_h", 0.5),
+                flip_p_w=pa.get("flip_p_w", 0.5),
+                rotate_angle=pa.get("rotate_angle", 10.0))
         return MVSECPairDataset(data_path, TRAIN_SEQUENCES, event_dt,
-                                max_events, mode=mode)
+                                max_events, mode=mode, augment=aug)
     files = [os.path.join(cfg.get("indices_dir", "."),
                           f"{s}_final_indices.txt") for s in VAL_SEQUENCES]
     return MVSECPairDataset(data_path, VAL_SEQUENCES, event_dt, max_events,

@@ -96,17 +96,25 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def produce_batches(fetch_many):
+            for b in range(n_local):
+                if stop.is_set():
+                    return
+                batch_idx = indices[b * self.local_batch:
+                                    (b + 1) * self.local_batch]
+                samples = list(fetch_many(batch_idx))
+                out_q.put(collate(samples))
+
         def producer():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in range(n_local):
-                        if stop.is_set():
-                            return
-                        batch_idx = indices[b * self.local_batch:
-                                            (b + 1) * self.local_batch]
-                        samples = list(pool.map(
-                            self.dataset.__getitem__, batch_idx))
-                        out_q.put(collate(samples))
+                if self.num_workers > 0:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        produce_batches(
+                            lambda idx: pool.map(self.dataset.__getitem__,
+                                                 idx))
+                else:  # num_workers=0: fetch synchronously in this thread
+                    produce_batches(
+                        lambda idx: map(self.dataset.__getitem__, idx))
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to consumer
                 out_q.put(e)

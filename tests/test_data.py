@@ -11,7 +11,8 @@ from ei_nexus_tpu.data.mvsec import (
     MVSECArchive, MVSECSequence, MVSECPairDataset, relative_pose)
 from ei_nexus_tpu.data.ec import ECArchive, ECSequence, ECPairDataset
 from ei_nexus_tpu.data.pipeline import DataLoader, collate
-from ei_nexus_tpu.data.augment import PairAugmentation
+from ei_nexus_tpu.data.augment import PairAugmentation, \
+    PairAugmentationEvents
 
 
 # ---------------------------------------------------------------------------
@@ -277,3 +278,34 @@ class TestAugment:
         assert xa.shape == (16, 32, 32)
         assert ya.shape == (1, 32, 32)
         assert ma.shape == (1, 32, 32)
+
+    def test_pair_augmentation_events(self, rng):
+        """Event-coordinate pair aug: crop resolution, in-bounds validity,
+        and image/event geometric consistency under rotation."""
+        H, W, N = 64, 80, 400
+        sample = {
+            "events_x": np.full(N, 40.0, np.float32),
+            "events_y": np.full(N, 30.0, np.float32),
+            "events_t": np.linspace(0, 0.4, N).astype(np.float32),
+            "events_p": np.ones(N, np.float32),
+            "events_valid": np.ones(N, bool),
+            "image": np.zeros((H, W, 1), np.float32),
+            "depth": np.full((H, W), 2.0, np.float32),
+            "depth_mask": np.ones((H, W), bool),
+        }
+        sample["image"][30, 40, 0] = 255.0
+        aug = PairAugmentationEvents(crop_size=(48, 56), flip_p_h=0.0,
+                                     flip_p_w=0.0, rotate_angle=10.0,
+                                     rng=np.random.default_rng(3))
+        out = aug(sample)
+        assert out["image"].shape == (48, 56, 1)
+        assert out["depth"].shape == (48, 56)
+        v = out["events_valid"]
+        if v.any():
+            x, y = out["events_x"][v], out["events_y"][v]
+            assert x.min() >= 0 and x.max() < 56
+            assert y.min() >= 0 and y.max() < 48
+            py, px, _ = np.unravel_index(np.argmax(out["image"]),
+                                         out["image"].shape)
+            assert abs(x[0] - px) < 1.5 and abs(y[0] - py) < 1.5
+        assert (out["events_x"][~v] == -1).all()

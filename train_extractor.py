@@ -97,6 +97,13 @@ def main(argv=None):
     fetch = fetch_mvsec_dataset if ds_cfg["name"] == "mvsec" \
         else fetch_ec_dataset
     train_ds = fetch(ds_cfg, "train")
+    if getattr(train_ds, "augment", None) is not None:
+        # pair augmentation crops every sample to crop_size: that IS the
+        # training resolution (reference trains on 256x256 crops of the
+        # 260x346 frames)
+        ch, cw = train_ds.augment.crop_size
+        H, W = min(ch, H), min(cw, W)  # aug clamps crop to the frame size
+        logger.log_info(f"pair augmentation active: training at {H}x{W}")
     loader = DataLoader(
         train_ds, batch_size=ds_cfg["train"]["batch_size"],
         shuffle=ds_cfg["train"].get("shuffle", True),
