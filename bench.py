@@ -40,7 +40,8 @@ def main():
 
     model, (H, W, bins) = _flagship(dtype="bfloat16")
     rng = np.random.default_rng(0)
-    B = 8
+    import os
+    B = int(os.environ.get("EI_NEXUS_BENCH_B", "8"))
     max_events = 1 << 17
     N = 10  # chained iterations per timing run
 

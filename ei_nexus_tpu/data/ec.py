@@ -19,7 +19,7 @@ import numpy as np
 from scipy.spatial.transform import Rotation
 
 from .interpolator import PoseInterpolator
-from .augment import PairAugmentation
+from .augment import PairAugmentation, PairAugmentationEvents
 from .representations import pad_events
 from .mvsec import relative_pose
 
@@ -134,8 +134,10 @@ class ECPairDataset:
                  event_dt: float = 0.04, max_events: int = 1 << 17,
                  mode: str = "single",
                  index_files: Optional[Sequence[str]] = None,
+                 augment: Optional[PairAugmentationEvents] = None,
                  seed: int = 0):
         assert mode in ("single", "index_pairs")
+        self.augment = augment
         archive = ECArchive(data_path)
         self.sequences = [ECSequence(archive, s) for s in sequences]
         self.event_dt = event_dt
@@ -164,6 +166,10 @@ class ECPairDataset:
             i0 = i1 = local
         data0 = seq.view(int(i0), self.event_dt, self.max_events)
         if i0 == i1:
+            if self.augment is not None:
+                # pair aug only on same-time training views (reference
+                # EC.py:295-300 augment_pair=True path)
+                data0 = self.augment(data0)
             return (data0, data0, np.eye(4, dtype=np.float32),
                     np.eye(4, dtype=np.float32))
         data1 = seq.view(int(i1), self.event_dt, self.max_events)
@@ -177,8 +183,16 @@ def fetch_ec_dataset(cfg: Dict[str, Any], split: str) -> ECPairDataset:
     event_dt = cfg.get("event_dt", 0.04)
     max_events = cfg.get("max_events", 1 << 17)
     if split == "train":
+        aug = None
+        pa = cfg.get("train", {}).get("pair_aug")
+        if pa and cfg.get("use_aug", True):
+            aug = PairAugmentationEvents(
+                crop_size=pa.get("crop_size", [256, 256]),
+                flip_p_h=pa.get("flip_p_h", 0.5),
+                flip_p_w=pa.get("flip_p_w", 0.5),
+                rotate_angle=pa.get("rotate_angle", 10.0))
         return ECPairDataset(data_path, TRAIN_SEQUENCES, event_dt,
-                             max_events, mode="single")
+                             max_events, mode="single", augment=aug)
     files = [os.path.join(data_path, f"new_{s}_val.txt")
              for s in VAL_SEQUENCES]
     return ECPairDataset(data_path, VAL_SEQUENCES, event_dt, max_events,

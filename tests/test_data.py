@@ -190,6 +190,22 @@ class TestMVSEC:
 
 
 class TestEC:
+    def test_single_mode_augmented(self, ec_root):
+        """EC single-mode with PairAugmentationEvents: crop resolution,
+        in-bounds events (no depth in EC samples)."""
+        aug = PairAugmentationEvents(crop_size=(96, 128), rotate_angle=5.0,
+                                     rng=np.random.default_rng(0))
+        ds = ECPairDataset(ec_root, ["shapes_translation"], mode="single",
+                           max_events=1024, augment=aug)
+        d0, d1, T01, _ = ds[0]
+        assert d0 is d1
+        np.testing.assert_allclose(T01, np.eye(4))
+        assert d0["image"].shape == (96, 128, 1)
+        v = d0["events_valid"]
+        if v.any():
+            assert d0["events_x"][v].max() < 128
+            assert d0["events_y"][v].max() < 96
+
     def test_sequence(self, ec_root):
         a = ECArchive(ec_root)
         seq = ECSequence(a, "shapes_translation")
