@@ -79,6 +79,8 @@ def eim_config_from_dict(model_cfg: Mapping[str, Any]) -> EIMConfig:
         distance_thresh=m.get("MNN", {}).get("distance_thresh") or None,
         lightglue=LightGlueConfig(
             dtype=lg.get("dtype", m.get("dtype", "float32")),
+            score_dtype=lg.get("score_dtype",
+                               lg.get("dtype", m.get("dtype", "float32"))),
             input_dim=lg.get("input_dim", 256),
             descriptor_dim=lg.get("descriptor_dim", 256),
             n_layers=lg.get("n_layers", 9),

@@ -41,6 +41,12 @@ class LightGlueConfig:
     gamma: float = 1.0           # deep-supervision layer weighting (loss)
     nll_balancing: float = 0.5   # (loss)
     dtype: str = "float32"       # compute dtype of dense/attention layers
+    # dtype in which the (B, h, N, M) attention/assignment score matrices
+    # are MATERIALIZED in HBM; the softmax itself always reduces in f32.
+    # "bfloat16" halves the dominant HBM traffic of the matcher (the
+    # reference runs flash attention in fp16, lightglue.py:224, so
+    # half-precision scores match its numerics class).
+    score_dtype: str = "float32"
     shard_heads: bool = False    # tensor-parallel: shard attention heads
                                  # over the mesh's "model" axis
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas": fused Pallas
@@ -110,28 +116,34 @@ def _maybe_shard_heads(t: jax.Array, enable: bool) -> jax.Array:
 
 def _attention(q, k, v, kv_mask: Optional[jax.Array],
                shard_heads: bool = False,
-               use_pallas: bool = False) -> jax.Array:
+               use_pallas: bool = False,
+               score_dtype=jnp.float32) -> jax.Array:
     if use_pallas:
         from ..ops.pallas_attention import self_attention
         return self_attention(q, k, v, kv_mask)  # kernel applies the scale
-    return _attention_xla(q, k, v, kv_mask, shard_heads)
+    return _attention_xla(q, k, v, kv_mask, shard_heads, score_dtype)
 
 
 def _attention_xla(q, k, v, kv_mask: Optional[jax.Array],
-                   shard_heads: bool = False) -> jax.Array:
+                   shard_heads: bool = False,
+                   score_dtype=jnp.float32) -> jax.Array:
     """(B, h, N, d) attention; kv_mask (B, M) masks keys.
 
     Mixed precision: QK^T and PV run in the operand dtype (bf16 on TPU)
-    with f32 accumulation; the softmax is always f32."""
+    with f32 MXU accumulation; scores are materialized in `score_dtype`
+    (the matcher's dominant HBM traffic at N=1024: 36 score matrices per
+    forward); the softmax reduction always upcasts to f32 in-register."""
     q = _maybe_shard_heads(q, shard_heads)
     k = _maybe_shard_heads(k, shard_heads)
     v = _maybe_shard_heads(v, shard_heads)
     scale = q.shape[-1] ** -0.5
+    q = q * jnp.asarray(scale, q.dtype)  # fold scale pre-matmul
     sim = jnp.einsum("bhid,bhjd->bhij", q, k,
-                     preferred_element_type=jnp.float32) * scale
+                     preferred_element_type=score_dtype)
     if kv_mask is not None:
-        sim = jnp.where(kv_mask[:, None, None, :], sim, _MASK_BIAS)
-    attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        sim = jnp.where(kv_mask[:, None, None, :], sim,
+                        jnp.asarray(_MASK_BIAS, sim.dtype))
+    attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(v.dtype)
     return jnp.einsum("bhij,bhjd->bhid", attn, v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
@@ -142,6 +154,7 @@ class SelfBlock(nn.Module):
     dtype: Any = jnp.float32
     shard_heads: bool = False
     use_pallas: bool = False
+    score_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, encoding, kv_mask=None):
@@ -154,7 +167,7 @@ class SelfBlock(nn.Module):
         q = apply_rotary(encoding, q)
         k = apply_rotary(encoding, k)
         ctx = _attention(q, k, v, kv_mask, self.shard_heads,
-                         self.use_pallas)
+                         self.use_pallas, self.score_dtype)
         message = ctx.transpose(0, 2, 1, 3).reshape(B, N, self.embed_dim)
         message = nn.Dense(self.embed_dim, dtype=self.dtype,
                            name="out_proj")(message)
@@ -175,6 +188,7 @@ class CrossBlock(nn.Module):
     dtype: Any = jnp.float32
     shard_heads: bool = False
     use_pallas: bool = False
+    score_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x0, x1, mask0=None, mask1=None):
@@ -201,17 +215,20 @@ class CrossBlock(nn.Module):
             m0, m1 = cross_attention_bidir(qk0, qk1, v0, v1, mask0, mask1)
         else:
             sim = jnp.einsum("bhid,bhjd->bhij", qk0, qk1,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=self.score_dtype)
             if mask0 is not None and mask1 is not None:
                 joint = mask0[:, None, :, None] & mask1[:, None, None, :]
-                sim = jnp.where(joint, sim, _MASK_BIAS)
-            attn01 = jax.nn.softmax(sim, axis=-1).astype(v1.dtype)
-            attn10 = jax.nn.softmax(
-                jnp.swapaxes(sim, -1, -2), axis=-1).astype(v0.dtype)
+                sim = jnp.where(joint, sim,
+                                jnp.asarray(_MASK_BIAS, sim.dtype))
+            simf = sim.astype(jnp.float32)
+            attn01 = jax.nn.softmax(simf, axis=-1).astype(v1.dtype)
+            # reverse direction: normalize over axis -2 directly instead of
+            # materializing a transposed copy of the (B, h, N, M) scores
+            attn10 = jax.nn.softmax(simf, axis=-2).astype(v0.dtype)
             m0 = jnp.einsum("bhij,bhjd->bhid", attn01, v1,
                             preferred_element_type=jnp.float32
                             ).astype(v1.dtype)
-            m1 = jnp.einsum("bhij,bhjd->bhid", attn10, v0,
+            m1 = jnp.einsum("bhij,bhid->bhjd", attn10, v0,
                             preferred_element_type=jnp.float32
                             ).astype(v0.dtype)
 
@@ -239,17 +256,21 @@ class TransformerLayer(nn.Module):
     dtype: Any = jnp.float32
     shard_heads: bool = False
     use_pallas: bool = False
+    score_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, desc0, desc1, enc0, enc1, mask0=None, mask1=None):
         self_attn = SelfBlock(self.embed_dim, self.num_heads,
                               dtype=self.dtype,
                               shard_heads=self.shard_heads,
-                              use_pallas=self.use_pallas, name="self_attn")
+                              use_pallas=self.use_pallas,
+                              score_dtype=self.score_dtype,
+                              name="self_attn")
         cross_attn = CrossBlock(self.embed_dim, self.num_heads,
                                 dtype=self.dtype,
                                 shard_heads=self.shard_heads,
                                 use_pallas=self.use_pallas,
+                                score_dtype=self.score_dtype,
                                 name="cross_attn")
         desc0 = self_attn(desc0, enc0, mask0)
         desc1 = self_attn(desc1, enc1, mask1)
@@ -366,6 +387,7 @@ class LightGlue(nn.Module):
                 desc0, desc1 = TransformerLayer(
                     cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
                     shard_heads=cfg.shard_heads, use_pallas=use_pallas,
+                    score_dtype=jnp.dtype(cfg.score_dtype),
                     name=f"transformers_{i}")(desc0, desc1, enc0, enc1,
                                               mask0, mask1)
                 head = MatchAssignment(cfg.descriptor_dim,
@@ -431,6 +453,7 @@ class LightGlue(nn.Module):
                 d0, d1 = TransformerLayer(
                     cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
                     shard_heads=cfg.shard_heads, use_pallas=use_pallas,
+                    score_dtype=jnp.dtype(cfg.score_dtype),
                     name="layer")(d0, d1, enc0, enc1, mask0, mask1)
                 return (d0, d1), (d0, d1)
 

@@ -271,6 +271,27 @@ class TestLightGlue:
         agree = (m0 == np.arange(32)).mean()
         assert agree > 0.8
 
+    def test_bf16_scores_preserve_matches(self, rng):
+        """score_dtype=bfloat16 materializes attention/assignment scores in
+        half precision (HBM-traffic optimization); matches must agree with
+        the f32 path for the overwhelming majority of keypoints."""
+        f0, f1 = self._feats(rng, K=64), self._feats(rng, K=64)
+        outs = {}
+        for sd in ("float32", "bfloat16"):
+            cfg = LightGlueConfig(input_dim=64, descriptor_dim=64,
+                                  n_layers=3, num_heads=4, score_dtype=sd)
+            model = LightGlue(config=cfg)
+            variables = model.init(jax.random.PRNGKey(0), f0, f1)
+            outs[sd] = model.apply(variables, f0, f1)
+        m_f32 = np.asarray(outs["float32"]["matches0"])[0]
+        m_bf16 = np.asarray(outs["bfloat16"]["matches0"])[0]
+        assert (m_f32 == m_bf16).mean() > 0.9
+        # log-probs of unlikely pairs wobble ~0.1-0.2 in log space under
+        # half-precision scores; matches themselves are unaffected above
+        np.testing.assert_allclose(
+            np.asarray(outs["bfloat16"]["log_assignment"]),
+            np.asarray(outs["float32"]["log_assignment"]), atol=0.3)
+
     def test_normalize_keypoints(self):
         kpts = jnp.asarray([[[0.0, 0.0], [100.0, 200.0]]])
         size = jnp.asarray([[100.0, 200.0]])
