@@ -437,23 +437,27 @@ def events_to_voxel_grid_splat(
         first = jnp.argmax(cm)
         b0 = jnp.clip(tb[first], 0, bins - 1)
 
-        # t-weight of this chunk's events towards absolute bins b0+s:
-        # corner tb (weight 1-frac) or tb+1 (weight frac); all slots are
-        # stacked into ONE (C, S*H) lhs so the MXU sees a single matmul
-        # with 4x the M rows (better tile utilization than S thin ones)
-        srange = jnp.arange(slots)
-        rel = (b0 + srange)[:, None] - tb[None, :]           # (S, C)
-        frac = (ct - tb)[None, :]
-        wt = jnp.where(rel == 0, 1.0 - frac,
-                       jnp.where(rel == 1, frac, 0.0))
-        in_range = ((b0 + srange) < bins)[:, None]
-        w = cv[None, :] * wt * in_range                      # (S, C)
-        lhs = (Ey[:, None, :] * w.T[:, :, None]).astype(
-            matmul_dtype).reshape(chunk, slots * height)     # (C, S*H)
-        block = jax.lax.dot_general(
-            lhs, Ex, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32
-        ).reshape(slots, height, width)                      # (S, H, W)
+        imgs = []
+        for s in range(slots):
+            # t-weight of this chunk's events towards absolute bin b0+s:
+            # corner tb (weight 1-frac) or tb+1 (weight frac)
+            # NOTE: keep the S THIN matmuls - stacking the slots into one
+            # (C, S*H) lhs was measured 1.8x SLOWER end-to-end (277 -> 154
+            # pairs/s): the broadcast-multiply + reshape materializes a
+            # (C, S, H) intermediate the compiler cannot fuse into the dot,
+            # while the per-slot (C, H) scaling fuses cleanly
+            rel = (b0 + s) - tb
+            frac = ct - tb
+            wt = jnp.where(rel == 0, 1.0 - frac,
+                           jnp.where(rel == 1, frac, 0.0))
+            in_range = (b0 + s) < bins
+            w = cv * wt * in_range
+            lhs = (Ey * w[:, None]).astype(matmul_dtype)
+            img = jax.lax.dot_general(
+                lhs, Ex, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (H, W)
+            imgs.append(img)
+        block = jnp.stack(imgs)                              # (S, H, W)
         cur = jax.lax.dynamic_slice(grid, (b0, 0, 0),
                                     (slots, height, width))
         grid = jax.lax.dynamic_update_slice(grid, cur + block, (b0, 0, 0))
