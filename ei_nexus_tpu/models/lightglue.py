@@ -114,13 +114,43 @@ def _maybe_shard_heads(t: jax.Array, enable: bool) -> jax.Array:
         return t  # no mesh / no model axis: no-op
 
 
+def _flash_supported(n: int, d: int) -> bool:
+    """jax's TPU flash kernel wants tiles of at least (128, 128); the
+    LightGlue production shapes (N=1024, d=64..128) qualify, tiny test
+    shapes (and non-TPU backends) fall back to the XLA path."""
+    import jax as _jax
+    return (n % 128 == 0 and n >= 128 and d % 8 == 0
+            and _jax.default_backend() == "tpu")
+
+
+def _flash_attention(q, k, v, kv_mask, sm_scale: float) -> jax.Array:
+    """jax.experimental TPU flash attention (never materializes the
+    (N, M) scores in HBM). Key-side padding mask via segment ids: valid
+    kv tokens get segment 1, invalid 2; all queries live in segment 1 so
+    they attend only valid keys (outputs at invalid query rows are
+    garbage and masked downstream, same as the XLA path)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention, SegmentIds)
+    segment_ids = None
+    if kv_mask is not None:
+        B, _, N, _ = q.shape
+        q_seg = jnp.ones((B, N), jnp.int32)
+        kv_seg = jnp.where(kv_mask, 1, 2).astype(jnp.int32)
+        segment_ids = SegmentIds(q=q_seg, kv=kv_seg)
+    return flash_attention(q, k, v, segment_ids=segment_ids, causal=False,
+                           sm_scale=sm_scale)
+
+
 def _attention(q, k, v, kv_mask: Optional[jax.Array],
                shard_heads: bool = False,
-               use_pallas: bool = False,
+               impl: str = "xla",
                score_dtype=jnp.float32) -> jax.Array:
-    if use_pallas:
+    if impl == "pallas":
         from ..ops.pallas_attention import self_attention
         return self_attention(q, k, v, kv_mask)  # kernel applies the scale
+    if impl == "flash" and _flash_supported(q.shape[2], q.shape[3]):
+        return _flash_attention(q, k, v, kv_mask,
+                                sm_scale=q.shape[-1] ** -0.5).astype(q.dtype)
     return _attention_xla(q, k, v, kv_mask, shard_heads, score_dtype)
 
 
@@ -153,7 +183,7 @@ class SelfBlock(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     shard_heads: bool = False
-    use_pallas: bool = False
+    attn_impl: str = "xla"
     score_dtype: Any = jnp.float32
 
     @nn.compact
@@ -167,7 +197,7 @@ class SelfBlock(nn.Module):
         q = apply_rotary(encoding, q)
         k = apply_rotary(encoding, k)
         ctx = _attention(q, k, v, kv_mask, self.shard_heads,
-                         self.use_pallas, self.score_dtype)
+                         self.attn_impl, self.score_dtype)
         message = ctx.transpose(0, 2, 1, 3).reshape(B, N, self.embed_dim)
         message = nn.Dense(self.embed_dim, dtype=self.dtype,
                            name="out_proj")(message)
@@ -187,7 +217,7 @@ class CrossBlock(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     shard_heads: bool = False
-    use_pallas: bool = False
+    attn_impl: str = "xla"
     score_dtype: Any = jnp.float32
 
     @nn.compact
@@ -210,9 +240,18 @@ class CrossBlock(nn.Module):
         v0 = _maybe_shard_heads(split(to_v(x0), N), self.shard_heads)
         v1 = _maybe_shard_heads(split(to_v(x1), M), self.shard_heads)
 
-        if self.use_pallas:
+        if self.attn_impl == "pallas":
             from ..ops.pallas_attention import cross_attention_bidir
             m0, m1 = cross_attention_bidir(qk0, qk1, v0, v1, mask0, mask1)
+        elif self.attn_impl == "flash" and _flash_supported(N, hd) \
+                and M % 128 == 0:
+            # two flash passes (qk pre-scaled on both sides -> sm_scale 1);
+            # loses the shared-similarity trick but never touches HBM with
+            # the (N, M) scores, which dominates
+            m0 = _flash_attention(qk0, qk1, v1, mask1, sm_scale=1.0
+                                  ).astype(v1.dtype)
+            m1 = _flash_attention(qk1, qk0, v0, mask0, sm_scale=1.0
+                                  ).astype(v0.dtype)
         else:
             sim = jnp.einsum("bhid,bhjd->bhij", qk0, qk1,
                              preferred_element_type=self.score_dtype)
@@ -255,7 +294,7 @@ class TransformerLayer(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     shard_heads: bool = False
-    use_pallas: bool = False
+    attn_impl: str = "xla"
     score_dtype: Any = jnp.float32
 
     @nn.compact
@@ -263,13 +302,13 @@ class TransformerLayer(nn.Module):
         self_attn = SelfBlock(self.embed_dim, self.num_heads,
                               dtype=self.dtype,
                               shard_heads=self.shard_heads,
-                              use_pallas=self.use_pallas,
+                              attn_impl=self.attn_impl,
                               score_dtype=self.score_dtype,
                               name="self_attn")
         cross_attn = CrossBlock(self.embed_dim, self.num_heads,
                                 dtype=self.dtype,
                                 shard_heads=self.shard_heads,
-                                use_pallas=self.use_pallas,
+                                attn_impl=self.attn_impl,
                                 score_dtype=self.score_dtype,
                                 name="cross_attn")
         desc0 = self_attn(desc0, enc0, mask0)
@@ -365,13 +404,18 @@ class LightGlue(nn.Module):
 
         impl = cfg.attention_impl
         if impl == "auto":
-            # NOTE: pallas attention is correct (see tests) but compiling 27
-            # pallas calls through the remote-compile tunnel is currently
-            # impractically slow; keep XLA until per-kernel compile caching
-            # lands. Opt in with attention_impl="pallas".
+            # XLA everywhere: with bf16 score materialization
+            # (score_dtype) the 1024-token attention is compute-bound at
+            # head_dim 64, and measured per-call times tie jax's blocked
+            # flash kernel (0.737 vs 0.750 ms at B=8), while flash costs a
+            # second cross pass (no shared similarity) - full-pipeline
+            # bench: XLA 277 pairs/s vs flash 145. "flash" stays available
+            # for larger head dims / token counts; "pallas" selects the
+            # local monolithic-tile kernels in ops/pallas_attention.py
+            # (correct, but their Mosaic compile hangs on the remote-TPU
+            # tunnel this round).
             impl = "xla"
-        use_pallas = (impl == "pallas" and not training
-                      and not cfg.shard_heads)
+        attn_impl = impl if (not training and not cfg.shard_heads) else "xla"
 
         all_scores = []
         conf_logits0, conf_logits1 = [], []
@@ -379,14 +423,14 @@ class LightGlue(nn.Module):
         if cfg.scan_layers:
             scores, sim, extras = self._scanned_layers(
                 desc0, desc1, enc0, enc1, mask0, mask1, compute_dtype,
-                use_pallas, training)
+                attn_impl, training)
             if training:
                 all_la, conf0, conf1 = extras
         else:
             for i in range(cfg.n_layers):
                 desc0, desc1 = TransformerLayer(
                     cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
-                    shard_heads=cfg.shard_heads, use_pallas=use_pallas,
+                    shard_heads=cfg.shard_heads, attn_impl=attn_impl,
                     score_dtype=jnp.dtype(cfg.score_dtype),
                     name=f"transformers_{i}")(desc0, desc1, enc0, enc1,
                                               mask0, mask1)
@@ -436,7 +480,7 @@ class LightGlue(nn.Module):
         return out
 
     def _scanned_layers(self, desc0, desc1, enc0, enc1, mask0, mask1,
-                        compute_dtype, use_pallas, training):
+                        compute_dtype, attn_impl, training):
         """lax.scan over the transformer stack + vmapped per-layer heads.
 
         One compiled layer body (and only two unique Pallas attention
@@ -452,7 +496,7 @@ class LightGlue(nn.Module):
                 d0, d1 = carry
                 d0, d1 = TransformerLayer(
                     cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
-                    shard_heads=cfg.shard_heads, use_pallas=use_pallas,
+                    shard_heads=cfg.shard_heads, attn_impl=attn_impl,
                     score_dtype=jnp.dtype(cfg.score_dtype),
                     name="layer")(d0, d1, enc0, enc1, mask0, mask1)
                 return (d0, d1), (d0, d1)
