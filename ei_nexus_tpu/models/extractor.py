@@ -115,6 +115,17 @@ def extract_keypoints(
         coarse = normalize_descriptors(raw_desc, cfg.descriptor_scale_factor)
         normalized = coarse
 
+    # The reference's remove_border_points mutates the score tensor IN PLACE
+    # (detector_util.py:153-163), so the `score` it returns — and therefore
+    # the stage-1 ScoreLoss target/prediction and dense_positions — has
+    # zeroed borders. Reproduce that exactly.
+    masked_score = bordered
+    if cell == 1:
+        # cell=1: depth_to_space/squeeze return VIEWS in torch, so the
+        # reference's in-place mask/border zeroing also mutates the returned
+        # `probability` (it aliases `score`). Mirror that.
+        probability = masked_score[..., None]
+
     # unpad maps + shift positions back to image coordinates
     if padder is not None:
         score_u = padder.unpad(masked_score, hw_axes=(-2, -1))

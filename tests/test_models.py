@@ -161,9 +161,12 @@ class TestSiLK:
         assert out["sparse_positions"].shape == (1, 512, 3)
         assert out["sparse_descriptors"].shape == (1, 512, 128)
         assert out["logits"].shape == (1, 40, 48, 1)
-        # sigmoid probabilities in (0, 1)
-        p = np.asarray(out["probability"])
-        assert (p > 0).all() and (p < 1).all()
+        # cell=1: returned probability aliases the border-zeroed score map
+        # (reference in-place mutation semantics, EventExtractors.py:374-385)
+        p = np.asarray(out["probability"])[..., 0]
+        assert (p >= 0).all() and (p < 1).all()
+        assert (p[:, :4, :] == 0).all() and (p[:, :, :4] == 0).all()
+        assert (p[:, 4:-4, 4:-4] > 0).all()
 
 
 class TestMNN:
