@@ -243,13 +243,18 @@ def random_superpoint_state_dict(seed: int = 0):
         "conv4a": (128, 128), "conv4b": (128, 128),
     }
     sd = {}
+    # Kaiming-ish fan-in scaling: keeps activation variance alive through
+    # the 8-conv relu trunk so random-weight detections are non-degenerate
+    # (flat score maps tie at the top-k quantile and zero out detections).
     for name, (co, ci) in shapes.items():
-        sd[f"{name}.weight"] = torch.randn(co, ci, 3, 3, generator=g) * 0.1
-        sd[f"{name}.bias"] = torch.randn(co, generator=g) * 0.1
+        std = (2.0 / (ci * 9)) ** 0.5
+        sd[f"{name}.weight"] = torch.randn(co, ci, 3, 3, generator=g) * std
+        sd[f"{name}.bias"] = torch.randn(co, generator=g) * 0.05
     for name, (co, ci, k) in {
         "convPa": (256, 128, 3), "convPb": (65, 256, 1),
         "convDa": (256, 128, 3), "convDb": (256, 256, 1),
     }.items():
-        sd[f"{name}.weight"] = torch.randn(co, ci, k, k, generator=g) * 0.1
-        sd[f"{name}.bias"] = torch.randn(co, generator=g) * 0.1
+        std = (2.0 / (ci * k * k)) ** 0.5
+        sd[f"{name}.weight"] = torch.randn(co, ci, k, k, generator=g) * std
+        sd[f"{name}.bias"] = torch.randn(co, generator=g) * 0.05
     return sd

@@ -356,3 +356,388 @@ class TestVGGExtractorForwardParity:
                             descriptor_dim=24, lat_channels=256,
                             use_max_pooling=False, conv_padding="VALID")
         _assert_extractor_parity(ref_out, out, np_variant=True)
+
+
+# ---------------------------------------------------------------------------
+# LightGlue vs the real reference matcher (lightglue.py:421)
+# ---------------------------------------------------------------------------
+
+from core.modules.matchers.lightglue import LightGlue as RefLightGlue
+
+from ei_nexus_tpu.models.lightglue import (
+    LightGlue as OurLightGlue, LightGlueConfig,
+    load_lightglue_torch_weights, stack_lightglue_params)
+from ei_nexus_tpu.losses.matcher_loss import lightglue_loss
+
+
+def _lg_pair(rng, B, N, M, D, H=64, W=80):
+    """Shared random inputs in both frameworks' formats (all slots valid)."""
+    k0 = np.stack([rng.uniform(2, H - 2, (B, N)), rng.uniform(2, W - 2, (B, N)),
+                   rng.random((B, N))], -1).astype(np.float32)
+    k1 = np.stack([rng.uniform(2, H - 2, (B, M)), rng.uniform(2, W - 2, (B, M)),
+                   rng.random((B, M))], -1).astype(np.float32)
+    d0 = rng.normal(size=(B, N, D)).astype(np.float32)
+    d1 = rng.normal(size=(B, M, D)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    size = np.tile(np.asarray([H, W], np.float32), (B, 1))
+    ref0 = {"sparse_positions": torch.from_numpy(k0),
+            "sparse_descriptors": torch.from_numpy(d0),
+            "image_size": torch.from_numpy(size)}
+    ref1 = {"sparse_positions": torch.from_numpy(k1),
+            "sparse_descriptors": torch.from_numpy(d1),
+            "image_size": torch.from_numpy(size)}
+    ours0 = {"sparse_positions": jnp.asarray(k0),
+             "sparse_descriptors": jnp.asarray(d0),
+             "image_size": jnp.asarray(size)}
+    ours1 = {"sparse_positions": jnp.asarray(k1),
+             "sparse_descriptors": jnp.asarray(d1),
+             "image_size": jnp.asarray(size)}
+    return (ref0, ref1), (ours0, ours1)
+
+
+def _ref_lightglue(n_layers=3, dim=32, heads=2, input_dim=None, seed=7):
+    torch.manual_seed(seed)
+    conf = reference_oracle.DictConfig({
+        "input_dim": input_dim or dim, "descriptor_dim": dim,
+        "n_layers": n_layers, "num_heads": heads, "flash": False,
+        "filter_threshold": 0.0, "weights": None})
+    return RefLightGlue(conf)
+
+
+def _our_lightglue(ref, n_layers=3, dim=32, heads=2, input_dim=None,
+                   scan_layers=False):
+    cfg = LightGlueConfig(input_dim=input_dim or dim, descriptor_dim=dim,
+                          n_layers=n_layers, num_heads=heads,
+                          scan_layers=scan_layers)
+    variables = load_lightglue_torch_weights(ref.state_dict(),
+                                             n_layers=n_layers)
+    if scan_layers:
+        variables = {"params": stack_lightglue_params(variables["params"],
+                                                      n_layers)}
+    return OurLightGlue(config=cfg), variables
+
+
+class TestLightGlueForwardParity:
+    """Ported real reference weights -> identical matches + log assignment."""
+
+    @pytest.mark.parametrize("scan_layers", [False, True])
+    def test_eval_forward(self, rng, scan_layers):
+        B, N, M, D = 2, 24, 20, 32
+        ref = _ref_lightglue().eval()
+        (r0, r1), (o0, o1) = _lg_pair(rng, B, N, M, D)
+        with torch.no_grad():
+            ref_out = ref(r0, r1)
+        model, variables = _our_lightglue(ref, scan_layers=scan_layers)
+        out = model.apply(variables, o0, o1)
+        np.testing.assert_allclose(
+            np.asarray(out["log_assignment"]), t2n(ref_out["log_assignment"]),
+            atol=2e-3)
+        np.testing.assert_array_equal(np.asarray(out["matches0"]),
+                                      t2n(ref_out["matches0"]))
+        np.testing.assert_array_equal(np.asarray(out["matches1"]),
+                                      t2n(ref_out["matches1"]))
+        np.testing.assert_allclose(np.asarray(out["matching_scores0"]),
+                                   t2n(ref_out["matching_scores0"]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out["matching_scores1"]),
+                                   t2n(ref_out["matching_scores1"]), atol=1e-3)
+
+    def test_input_proj(self, rng):
+        """input_dim != descriptor_dim engages the Linear input projection."""
+        B, N, M = 1, 16, 16
+        ref = _ref_lightglue(input_dim=48).eval()
+        (r0, r1), (o0, o1) = _lg_pair(rng, B, N, M, 48)
+        with torch.no_grad():
+            ref_out = ref(r0, r1)
+        model, variables = _our_lightglue(ref, input_dim=48)
+        out = model.apply(variables, o0, o1)
+        np.testing.assert_allclose(
+            np.asarray(out["log_assignment"]), t2n(ref_out["log_assignment"]),
+            atol=2e-3)
+        np.testing.assert_array_equal(np.asarray(out["matches0"]),
+                                      t2n(ref_out["matches0"]))
+
+    def test_training_deep_supervision_outputs(self, rng):
+        """Our all-layer assignments == reference heads re-run on the saved
+        per-layer descriptors (what LightGlue.loss:751 computes)."""
+        B, N, M, D = 2, 18, 18, 32
+        ref = _ref_lightglue().train()
+        (r0, r1), (o0, o1) = _lg_pair(rng, B, N, M, D)
+        with torch.no_grad():
+            ref_out = ref(r0, r1)
+        model, variables = _our_lightglue(ref)
+        out = model.apply(variables, o0, o1, training=True)
+        L = 3
+        assert out["all_log_assignments"].shape == (B, L, N + 1, M + 1)
+        for i in range(L):
+            with torch.no_grad():
+                la_i, _ = ref.log_assignment[i](
+                    ref_out["ref_descriptors0"][:, i],
+                    ref_out["ref_descriptors1"][:, i])
+            np.testing.assert_allclose(
+                np.asarray(out["all_log_assignments"][:, i]), t2n(la_i),
+                atol=2e-3, err_msg=f"layer {i}")
+        # confidence logits: token head pre-sigmoid on detached descriptors
+        for i in range(L - 1):
+            with torch.no_grad():
+                logit0 = ref.token_confidence[i].token[0](
+                    ref_out["ref_descriptors0"][:, i]).squeeze(-1)
+            np.testing.assert_allclose(
+                np.asarray(out["confidence_logits0"][:, i]), t2n(logit0),
+                atol=2e-3)
+
+
+class TestLightGlueLossParity:
+    def test_training_loss(self, rng):
+        """Full deep-supervision NLL + confidence BCE vs LightGlue.loss
+        (train mode). N == M (the reference's nll_loss writes the column
+        dustbin with :m, lightglue.py:133 — only square shapes are used by
+        the pipeline, max_points_num on both sides)."""
+        B, N, D, L = 2, 20, 32, 3
+        ref = _ref_lightglue(seed=11).train()
+        (r0, r1), (o0, o1) = _lg_pair(rng, B, N, N, D)
+        with torch.no_grad():
+            ref_pred = ref(r0, r1)
+
+        # synthetic GT: a few positives on the diagonal, rest unmatched
+        gt_m0 = np.full((B, N), -1, np.int64)
+        gt_m1 = np.full((B, N), -1, np.int64)
+        assign = np.zeros((B, N, N), bool)
+        for b in range(B):
+            pos = 2 + rng.choice(N - 2, size=6, replace=False)
+            for j in pos:
+                gt_m0[b, j] = j
+                gt_m1[b, j] = j
+                assign[b, j, j] = True
+        # ignore (-2) labels exercise the "neither pos nor neg" weight rows
+        gt_m0[:, 0] = -2
+        gt_m1[:, 1] = -2
+        data = {"gt_matches0": torch.from_numpy(gt_m0),
+                "gt_matches1": torch.from_numpy(gt_m1),
+                "gt_assignment": torch.from_numpy(assign)}
+        with torch.no_grad():
+            ref_losses, _ = ref.loss(ref_pred, data)
+
+        model, variables = _our_lightglue(ref)
+        out = model.apply(variables, o0, o1, training=True)
+        gt = {"matches0": jnp.asarray(gt_m0), "matches1": jnp.asarray(gt_m1),
+              "assignment": jnp.asarray(assign)}
+        loss, metrics = lightglue_loss(out, gt, gamma=1.0, nll_balancing=0.5,
+                                       training=True)
+        np.testing.assert_allclose(float(loss),
+                                   float(ref_losses["total"].mean()),
+                                   atol=5e-4)
+        np.testing.assert_allclose(float(metrics["matcher_confidence"]),
+                                   float(ref_losses["confidence"].mean()),
+                                   atol=5e-4)
+        np.testing.assert_allclose(float(metrics["matcher_last"]),
+                                   float(ref_losses["last"].mean()),
+                                   atol=5e-4)
+        np.testing.assert_allclose(float(metrics["matcher_row_norm"]),
+                                   float(ref_losses["row_norm"].mean()),
+                                   atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# GT match generation vs the real reference (gt_generation.py:16)
+# ---------------------------------------------------------------------------
+
+from core.geometry import gt_generation as ref_gtgen
+from core.geometry.wrappers import Camera as RefCamera, Pose as RefPose
+
+from ei_nexus_tpu.geometry import (Camera, Pose, gt_matches_from_pose_depth)
+
+
+def _scene(rng, B=2, N=40, M=36, H=48, W=64):
+    """Random smooth positive depth + small relative motion."""
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    depth0 = np.stack([
+        2.0 + 0.5 * np.sin(xx / 9.0 + b) * np.cos(yy / 7.0 - b)
+        for b in range(B)]).astype(np.float32)
+    depth1 = np.stack([
+        2.1 + 0.4 * np.cos(xx / 8.0 - b) * np.sin(yy / 6.0 + b)
+        for b in range(B)]).astype(np.float32)
+    # a few invalid-depth holes
+    depth0[:, 10:14, 20:26] = 0.0
+    K = np.asarray([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]], np.float32)
+    K = np.tile(K, (B, 1, 1))
+    aa = rng.normal(size=(B, 3)).astype(np.float32) * 0.02
+    t = rng.normal(size=(B, 3)).astype(np.float32) * 0.05
+    kp0 = np.stack([rng.uniform(3, H - 3, (B, N)),
+                    rng.uniform(3, W - 3, (B, N))], -1).astype(np.float32)
+    kp1 = np.stack([rng.uniform(3, H - 3, (B, M)),
+                    rng.uniform(3, W - 3, (B, M))], -1).astype(np.float32)
+    return kp0, kp1, depth0, depth1, K, aa, t
+
+
+class TestGtMatchesParity:
+    @pytest.mark.parametrize("epi_th", [None, 5.0])
+    def test_pose_depth(self, rng, epi_th):
+        kp0, kp1, depth0, depth1, K, aa, t = _scene(rng)
+        ref_cam = RefCamera.from_calibration_matrix(torch.from_numpy(K))
+        ref_T01 = RefPose.from_aa(torch.from_numpy(aa), torch.from_numpy(t))
+        ref_T10 = ref_T01.inv()
+        ref_out = ref_gtgen.gt_matches_from_pose_depth(
+            torch.from_numpy(kp0), torch.from_numpy(kp1),
+            ref_cam, ref_cam, torch.from_numpy(depth0),
+            torch.from_numpy(depth1), ref_T01, ref_T10,
+            pos_th=3, neg_th=5, ordering="yx", epi_th=epi_th)
+
+        cam = Camera.from_calibration_matrix(jnp.asarray(K))
+        T01 = Pose.from_aa(jnp.asarray(aa), jnp.asarray(t))
+        out = gt_matches_from_pose_depth(
+            jnp.asarray(kp0), jnp.asarray(kp1), cam, cam,
+            jnp.asarray(depth0), jnp.asarray(depth1), T01, T01.inv(),
+            pos_th=3.0, neg_th=5.0, ordering="yx", epi_th=epi_th)
+
+        np.testing.assert_array_equal(np.asarray(out["assignment"]),
+                                      t2n(ref_out["assignment"]))
+        np.testing.assert_array_equal(np.asarray(out["matches0"]),
+                                      t2n(ref_out["matches0"]))
+        np.testing.assert_array_equal(np.asarray(out["matches1"]),
+                                      t2n(ref_out["matches1"]))
+        np.testing.assert_array_equal(np.asarray(out["visible0"]),
+                                      t2n(ref_out["visible0"]))
+        np.testing.assert_array_equal(np.asarray(out["visible1"]),
+                                      t2n(ref_out["visible1"]))
+        np.testing.assert_allclose(np.asarray(out["depth_keypoints0"]),
+                                   np.nan_to_num(t2n(ref_out["depth_keypoints0"])),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["proj_0to1"]),
+                                   t2n(ref_out["proj_0to1"]), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Full EIM pipeline vs the real reference (EIM.py:13) on shared weights
+# ---------------------------------------------------------------------------
+
+
+class TestEIMEndToEndParity:
+    """Reference EIM (vgg events + SuperPointv1 image + 3-layer LightGlue)
+    with random weights, ported wholesale into our flax EIM. Our slots are
+    score-ordered while the reference's are row-major (both orderings are
+    valid; LightGlue is permutation-equivariant over slots), so outputs are
+    compared through the position-matching permutation."""
+
+    def _ref_conf(self):
+        return reference_oracle.DictConfig({
+            "name": "EDM",
+            "pretrain_stage1": {"model_path": None},
+            "pretrain_stage2": {"model_path": None},
+            "event_extractor": {
+                "type": "vgg", "freeze": True,
+                "vgg": {"in_channels": 4, "feat_channels": 32,
+                        "descriptor_dim": 256, "nms_radius": 4,
+                        "detection_threshold": 1.0, "detection_top_k": 64,
+                        "remove_borders": 4, "ordering": "yx",
+                        "descriptor_scale_factor": 1.0,
+                        "learnable_descriptor_scale_factor": False,
+                        "use_batchnorm": True}},
+            "image_extractor": {
+                "type": "superpointv1", "freeze": True,
+                "superpointv1": {"descriptor_dim": 256, "nms_radius": 4,
+                                 "detection_threshold": 1.0,
+                                 "detection_top_k": 64, "remove_borders": 4,
+                                 "ordering": "yx",
+                                 "descriptor_scale_factor": 1.0,
+                                 "learnable_descriptor_scale_factor": False}},
+            "matcher": {
+                "type": "LightGlue", "freeze": False, "max_points_num": 64,
+                "pad_mode": "random", "desc_scale_factor": 1.0,
+                "MNN": {"ratio_thresh": False, "distance_thresh": False},
+                "LightGlue": {"input_dim": 256, "descriptor_dim": 256,
+                              "n_layers": 3, "num_heads": 4, "flash": False,
+                              "filter_threshold": 0.0, "weights": None}},
+        })
+
+    def test_full_pipeline(self, rng, monkeypatch):
+        import torch.hub
+        monkeypatch.setattr(
+            torch.hub, "load_state_dict_from_url",
+            lambda url, **kw: reference_oracle.random_superpoint_state_dict())
+        from core.modules.EIM import EIM as RefEIM
+
+        torch.manual_seed(20)
+        ref = RefEIM(self._ref_conf(), device="cpu")
+
+        B, H, W, K = 2, 128, 128, 64
+        events = rng.normal(size=(B, 4, H, W)).astype(np.float32)
+        image = rng.uniform(0, 255, (B, 1, H, W)).astype(np.float32)
+        with torch.no_grad():
+            ref_ev, ref_im, ref_m = ref(torch.from_numpy(events),
+                                        torch.from_numpy(image.copy()))
+
+        # ---- ours on the ported state dict ----
+        from ei_nexus_tpu.models import EIM as OurEIM, EIMConfig
+        from ei_nexus_tpu.models.eim import (ExtractorSpec, MatcherConfig,
+                                             KeypointExtractorConfig as KCfg)
+        from ei_nexus_tpu.models.lightglue import LightGlueConfig
+        from ei_nexus_tpu.models.port_torch import load_eim_torch_checkpoint
+
+        kev = KCfg(cell_size=8, nms_radius=4, detection_top_k=K,
+                   detection_threshold=1.0, remove_borders=4,
+                   sparse_desc_from="lowres", nms_impl="xla")
+        cfg = EIMConfig(
+            event_extractor=ExtractorSpec(
+                type="vgg", freeze=True, in_channels=4, feat_channels=32,
+                descriptor_dim=256, lat_channels=256, keypoints=kev),
+            image_extractor=ExtractorSpec(
+                type="superpointv1", freeze=True, descriptor_dim=256,
+                keypoints=kev),
+            matcher=MatcherConfig(
+                type="LightGlue", freeze=False, max_points_num=K,
+                lightglue=LightGlueConfig(input_dim=256, descriptor_dim=256,
+                                          n_layers=3, num_heads=4)))
+        variables = load_eim_torch_checkpoint(
+            {k: v for k, v in ref.state_dict().items()},
+            n_lightglue_layers=3)
+        model = OurEIM(config=cfg)
+        out_ev, out_im, out_m = model.apply(
+            variables, jnp.asarray(events.transpose(0, 2, 3, 1)),
+            jnp.asarray(image.transpose(0, 2, 3, 1)))
+
+        # every slot must be genuinely detected (no random fill in play)
+        assert bool(np.asarray(out_ev["sparse_valid"]).all())
+        assert bool(np.asarray(out_im["sparse_valid"]).all())
+        for b in range(B):
+            assert ref_ev["sparse_positions"][b].shape[0] == K
+            assert ref_im["sparse_positions"][b].shape[0] == K
+
+        # keypoint sets identical
+        for ours, refs in ((out_ev, ref_ev), (out_im, ref_im)):
+            o = fixed_to_ragged(ours["sparse_positions"],
+                                ours["sparse_valid"])
+            r = ref_sorted(refs["sparse_positions"])
+            for ob, rb in zip(o, r):
+                np.testing.assert_allclose(ob[:, :2], rb[:, :2], atol=1e-6)
+
+        # per-sample permutation: ref slot j -> our slot perm[j]
+        def slot_perm(ref_pos, our_pos):
+            r = t2n(ref_pos)[:, :2]
+            o = np.asarray(our_pos)[:, :2]
+            d = np.abs(r[:, None, :] - o[None, :, :]).sum(-1)
+            perm = d.argmin(1)
+            assert (d[np.arange(len(r)), perm] < 1e-4).all()
+            assert len(set(perm.tolist())) == len(r)  # bijection
+            return perm
+
+        la_ours = np.asarray(out_m["log_assignment"])
+        for b in range(B):
+            p0 = slot_perm(ref_m["input_feats0"]["sparse_positions"][b],
+                           out_ev["sparse_positions"][b])
+            p1 = slot_perm(ref_m["input_feats1"]["sparse_positions"][b],
+                           out_im["sparse_positions"][b])
+            ref_la = t2n(ref_m["log_assignment"][b])
+            ours_la = la_ours[b][np.concatenate([p0, [K]])][:,
+                                 np.concatenate([p1, [K]])]
+            np.testing.assert_allclose(ours_la, ref_la, atol=5e-3)
+
+            ref_m0 = t2n(ref_m["matches0"][b])
+            our_m0 = np.asarray(out_m["matches0"][b])
+            inv1 = np.empty(K, np.int64)
+            inv1[p1] = np.arange(K)
+            for j in range(K):
+                if ref_m0[j] == -1:
+                    assert our_m0[p0[j]] == -1, j
+                else:
+                    assert inv1[our_m0[p0[j]]] == ref_m0[j], j
