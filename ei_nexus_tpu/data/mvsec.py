@@ -278,17 +278,20 @@ def fetch_mvsec_dataset(cfg: Dict[str, Any], split: str) -> MVSECPairDataset:
     """Config-driven construction (reference fetch_mvsec_dataloader).
 
     cfg keys: data_path, event_dt, select_matching_pair, train_on_rpe_data,
-    max_events (extension).
+    max_events, train_sequences/val_sequences (extensions: override the
+    reference's hardcoded splits, e.g. for the generated mini-MVSEC).
     """
     data_path = cfg["data_path"]
     event_dt = cfg.get("event_dt", 0.4)
     max_events = cfg.get("max_events", 1 << 18)
+    train_seqs = cfg.get("train_sequences") or TRAIN_SEQUENCES
+    val_seqs = cfg.get("val_sequences") or VAL_SEQUENCES
     if split == "train":
         if cfg.get("train_on_rpe_data"):
             files = [os.path.join(cfg.get("indices_dir", "."),
                                   f"{s}_final_indices.txt")
-                     for s in TRAIN_SEQUENCES]
-            return MVSECPairDataset(data_path, TRAIN_SEQUENCES, event_dt,
+                     for s in train_seqs]
+            return MVSECPairDataset(data_path, train_seqs, event_dt,
                                     max_events, mode="index_pairs",
                                     index_files=files)
         mode = ("random_pair" if cfg.get("select_matching_pair")
@@ -301,9 +304,9 @@ def fetch_mvsec_dataset(cfg: Dict[str, Any], split: str) -> MVSECPairDataset:
                 flip_p_h=pa.get("flip_p_h", 0.5),
                 flip_p_w=pa.get("flip_p_w", 0.5),
                 rotate_angle=pa.get("rotate_angle", 10.0))
-        return MVSECPairDataset(data_path, TRAIN_SEQUENCES, event_dt,
+        return MVSECPairDataset(data_path, train_seqs, event_dt,
                                 max_events, mode=mode, augment=aug)
     files = [os.path.join(cfg.get("indices_dir", "."),
-                          f"{s}_final_indices.txt") for s in VAL_SEQUENCES]
-    return MVSECPairDataset(data_path, VAL_SEQUENCES, event_dt, max_events,
+                          f"{s}_final_indices.txt") for s in val_seqs]
+    return MVSECPairDataset(data_path, val_seqs, event_dt, max_events,
                             mode="index_pairs", index_files=files)
