@@ -221,9 +221,13 @@ class RelativePoseEstimation:
         return compute_auc(self.error_list, self.pose_thresh)
 
     def update_one(self, mk1, mk2, K0, K1, T_0to1) -> Dict[str, float]:
-        out: Dict[str, float] = {}
         ret = self.estimate_pose(mk1, mk2, K0, K1, self.ransac_thresh,
                                  self.ransac_conf)
+        return self._score_pose(ret, T_0to1)
+
+    def _score_pose(self, ret, T_0to1) -> Dict[str, float]:
+        """Shared scoring for one pair given (R, t, inliers) or None."""
+        out: Dict[str, float] = {}
         if ret is None:
             out[self.metric_name + "_R_errs"] = np.inf
             out[self.metric_name + "_t_errs"] = np.inf
@@ -244,6 +248,22 @@ class RelativePoseEstimation:
             out[f"{self.metric_name}@{th}_ratio"] = float(pose_err <= th)
         self.error_list.append(pose_err)
         return out
+
+    def update_batch_device(self, positions0, positions1, matches0, K0, K1,
+                            T_0to1) -> List[Dict[str, float]]:
+        """Batched path: ONE device RANSAC call for the whole batch.
+
+        Takes the matcher's fixed-K outputs directly (positions (B, K, >=2)
+        in `self.ordering`, matches0 (B, K) with <0 = unmatched) instead of
+        ragged per-pair matched lists. Only for backend="jax".
+        """
+        from .ransac import estimate_pose_batch_from_matches
+        rets = estimate_pose_batch_from_matches(
+            np.asarray(positions0), np.asarray(positions1),
+            np.asarray(matches0), np.asarray(K0), np.asarray(K1),
+            self.ransac_thresh, ordering=self.ordering)
+        return [self._score_pose(ret, np.asarray(T_0to1)[b])
+                for b, ret in enumerate(rets)]
 
     def update_batch(self, mk1, mk2, K0, K1, T_0to1) -> Dict[str, float]:
         self.error_list = []

@@ -174,6 +174,63 @@ def estimate_pose_jax(p0n: np.ndarray, p1n: np.ndarray, thresh: float,
             np.asarray(inliers)[:len(p0n)])
 
 
+def estimate_pose_batch_from_matches(
+    positions0: np.ndarray, positions1: np.ndarray, matches0: np.ndarray,
+    K0: np.ndarray, K1: np.ndarray, thresh: float, ordering: str = "yx",
+    n_hypotheses: int = 1024, seed: int = 0,
+):
+    """One device call for a whole eval batch of fixed-K match outputs.
+
+    Builds (B, K) fixed-shape correspondence arrays straight from the
+    matcher's `matches0` slots (no ragged host gather), K-normalizes on the
+    host, and runs `estimate_pose_batch` once. This is the path `rpe_eval`
+    uses for backend="jax" — the reference protocol is one OpenCV call per
+    pair on the CPU (matching_metrics.py:410-450).
+
+    positions0/1: (B, K, >=2) keypoints (`ordering`); matches0: (B, K) slot
+    indices into positions1, <0 = unmatched; K0/K1: (B, 3, 3); thresh:
+    pixel threshold (normalized per-pair by mean focal as in the reference).
+    Returns a list of B entries: (R, t, inlier_mask over matched slots) or
+    None (too few matches/inliers, matching `estimate_pose`'s contract).
+    """
+    B, K = matches0.shape
+    sel = matches0 > -1                                    # (B, K)
+    idx = np.clip(matches0, 0, K - 1)
+    p0 = np.ascontiguousarray(positions0[..., :2], np.float32)
+    p1 = np.take_along_axis(
+        np.ascontiguousarray(positions1[..., :2], np.float32),
+        idx[..., None], axis=1)
+    if ordering == "yx":
+        p0, p1 = p0[..., ::-1], p1[..., ::-1]
+    K0 = np.asarray(K0, np.float64).reshape(B, 3, 3)
+    K1 = np.asarray(K1, np.float64).reshape(B, 3, 3)
+    c0 = K0[:, [0, 1], [2, 2]][:, None]                    # (B, 1, 2)
+    f0 = K0[:, [0, 1], [0, 1]][:, None]
+    c1 = K1[:, [0, 1], [2, 2]][:, None]
+    f1 = K1[:, [0, 1], [0, 1]][:, None]
+    p0n = ((p0 - c0) / f0).astype(np.float32)
+    p1n = ((p1 - c1) / f1).astype(np.float32)
+    thr = thresh / np.mean(
+        np.stack([K0[:, 0, 0], K1[:, 1, 1], K0[:, 0, 0], K1[:, 1, 1]], -1),
+        axis=-1).astype(np.float32)                        # (B,)
+    R, t, inl, n_inl = estimate_pose_batch(
+        jnp.asarray(p0n), jnp.asarray(p1n), jnp.asarray(sel),
+        jnp.asarray(thr), jax.random.PRNGKey(seed),
+        n_hypotheses=n_hypotheses)
+    R = np.asarray(R, np.float64)
+    t = np.asarray(t, np.float64)
+    inl = np.asarray(inl)
+    n_inl = np.asarray(n_inl)
+    n_matches = sel.sum(-1)
+    out = []
+    for b in range(B):
+        if n_matches[b] < 8 or n_inl[b] < 8:
+            out.append(None)
+        else:
+            out.append((R[b], t[b], inl[b][sel[b]]))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("n_hypotheses",))
 def estimate_pose_batch(p0: jax.Array, p1: jax.Array, mask: jax.Array,
                         thresh: jax.Array, key: jax.Array,

@@ -119,13 +119,24 @@ def rpe_eval(state, model, loader, rep_kind: str, bins: int, height: int,
         data0, data1, T01, _ = batch[:4]
         ev, im, matches = step(state, batch)
         B = np.asarray(T01).shape[0]
-        for b in range(B):
-            mk0, mk1 = _matched_pairs(matches, ev, im, b)
-            out = rpe.update_one(mk0, mk1, data0["K"][b], data1["K"][b],
-                                 T01[b])
-            for k, v in out.items():
-                acc.setdefault(k, []).append(v)
-            n_pairs += 1
+        if backend == "jax":
+            # one device RANSAC call for the whole batch
+            # (metrics/ransac.py:estimate_pose_batch_from_matches)
+            outs = rpe.update_batch_device(
+                ev["sparse_positions"], im["sparse_positions"],
+                matches["matches0"], data0["K"], data1["K"], T01)
+            for out in outs:
+                for k, v in out.items():
+                    acc.setdefault(k, []).append(v)
+            n_pairs += B
+        else:
+            for b in range(B):
+                mk0, mk1 = _matched_pairs(matches, ev, im, b)
+                out = rpe.update_one(mk0, mk1, data0["K"][b],
+                                     data1["K"][b], T01[b])
+                for k, v in out.items():
+                    acc.setdefault(k, []).append(v)
+                n_pairs += 1
     summary = {}
     for k, v in acc.items():
         arr = np.asarray(v, np.float64)

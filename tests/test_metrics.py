@@ -216,3 +216,58 @@ class TestRPE:
             t_err = np.degrees(np.arccos(np.clip(dt, -1, 1)))
             assert r_err < 1.5, (b, r_err)
             assert t_err < 3.0, (b, t_err)
+
+
+class TestRPEBatchDevice:
+    """update_batch_device: fixed-K slot format, one device call per batch."""
+
+    def test_matches_slot_format_vs_update_one(self, rng):
+        B, K = 3, 256
+        positions0 = np.zeros((B, K, 3), np.float32)
+        positions1 = np.zeros((B, K, 3), np.float32)
+        matches0 = np.full((B, K), -1, np.int32)
+        Ks, Ts = [], []
+        n_per = [180, 140, 100]
+        for b in range(B):
+            n = n_per[b]
+            x0, x1, Km, Tm, _ = synthetic_pose_scene(rng, n=n, noise=0.2,
+                                                     outlier_frac=0.1)
+            # yx ordering with a prob column; scatter matches into shuffled
+            # slots of view 1 to exercise the take_along_axis gather
+            perm = rng.permutation(K)[:n]
+            positions0[b, :n, :2] = x0[:, ::-1]
+            positions1[b, perm, :2] = x1[:, ::-1]
+            matches0[b, :n] = perm
+            Ks.append(Km)
+            Ts.append(Tm)
+        m = RelativePoseEstimation("rpe", [5, 10, 20], ordering="yx",
+                                   backend="jax")
+        outs = m.update_batch_device(positions0, positions1, matches0,
+                                     np.stack(Ks), np.stack(Ks),
+                                     np.stack(Ts))
+        assert len(outs) == B
+        for b, out in enumerate(outs):
+            assert out["rpe_R_errs"] < 2.5, (b, out)
+            assert out["rpe_t_errs"] < 4.0, (b, out)
+            assert out["rpe@5_ratio"] == 1.0
+        assert len(m.error_list) == B
+
+    def test_unmatchable_pair_gives_inf(self, rng):
+        B, K = 2, 64
+        positions0 = np.zeros((B, K, 3), np.float32)
+        positions1 = np.zeros((B, K, 3), np.float32)
+        matches0 = np.full((B, K), -1, np.int32)
+        x0, x1, Km, Tm, _ = synthetic_pose_scene(rng, n=50, noise=0.2)
+        positions0[0, :50, :2] = x0[:, ::-1]
+        positions1[0, :50, :2] = x1[:, ::-1]
+        matches0[0, :50] = np.arange(50)
+        # pair 1: only 5 matches (< 8) -> None -> inf errors
+        positions0[1, :5, :2] = x0[:5, ::-1]
+        positions1[1, :5, :2] = x1[:5, ::-1]
+        matches0[1, :5] = np.arange(5)
+        m = RelativePoseEstimation("rpe", [5], ordering="yx", backend="jax")
+        outs = m.update_batch_device(positions0, positions1, matches0,
+                                     np.stack([Km, Km]), np.stack([Km, Km]),
+                                     np.stack([Tm, Tm]))
+        assert outs[0]["rpe_pose_errs"] < 5.0
+        assert outs[1]["rpe_pose_errs"] == np.inf
