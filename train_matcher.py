@@ -63,7 +63,8 @@ def main(argv=None):
     from ei_nexus_tpu.models import EIM, eim_config_from_dict
     from ei_nexus_tpu.train import (
         build_optimizer, build_schedule, create_train_state, freeze_mask,
-        save_checkpoint, restore_checkpoint, load_stage1_event_extractor)
+        save_checkpoint, restore_checkpoint, load_stage1_event_extractor,
+        is_host_driven, PlateauController, set_learning_rate)
     from ei_nexus_tpu.train.steps import (
         make_stage2_train_step, batch_representation)
     from ei_nexus_tpu.train.partition import frozen_roots_from_config
@@ -116,11 +117,21 @@ def main(argv=None):
     tcfg = cfg.train.to_dict()
     schedule = build_schedule(tcfg["scheduler"], tcfg["optimizer"]["lr"],
                               steps_per_epoch=max(len(loader), 1))
-    tx = build_optimizer(tcfg["optimizer"], schedule)
+    host_lr = is_host_driven(tcfg["scheduler"])
+    tx = build_optimizer(tcfg["optimizer"], schedule, inject_lr=host_lr)
+    plateau = (PlateauController.from_config(tcfg["scheduler"],
+                                             tcfg["optimizer"]["lr"])
+               if host_lr else None)
     state = create_train_state(model, variables, tx)
     start_epoch = 0
     if args.resume:
         state, start_epoch = restore_checkpoint(args.resume, state)
+        if plateau is not None:
+            import json
+            sidecar = os.path.join(args.resume, "plateau.json")
+            if os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    plateau.load_state_dict(json.load(f))
 
     freeze = freeze_mask(state.params, frozen_roots_from_config(model_cfg))
     gtc = tcfg.get("gt_matches", {})
@@ -139,6 +150,7 @@ def main(argv=None):
         for epoch in range(start_epoch, epochs):
             loader.set_epoch(epoch)
             t0 = time.time()
+            epoch_losses = []
             for batch in loader:
                 batch = shard_batch(batch, mesh)
                 state, info = step_fn(state, batch,
@@ -149,14 +161,26 @@ def main(argv=None):
                         global_step,
                         {k: float(v) for k, v in info.items()},
                         prefix=f"[stage2 e{epoch}] ")
+                if plateau is not None:
+                    epoch_losses.append(float(info["loss"]))
                 if shutdown.requested or (
                         args.max_steps and global_step >= args.max_steps):
                     break
             logger.log_info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+            if plateau is not None and epoch_losses:
+                new_lr = plateau.step(float(np.mean(epoch_losses)))
+                state = state.replace(opt_state=set_learning_rate(
+                    state.opt_state, new_lr))
+                logger.log_info(f"plateau lr -> {new_lr:.2e}")
             if jax.process_index() == 0 and (
                     (epoch + 1) % tcfg.get("checkpoint_freq", 5) == 0):
-                save_checkpoint(os.path.join(logger.run_dir, "checkpoints"),
-                                state, epoch + 1)
+                path = save_checkpoint(
+                    os.path.join(logger.run_dir, "checkpoints"), state,
+                    epoch + 1)
+                if plateau is not None:
+                    import json
+                    with open(os.path.join(path, "plateau.json"), "w") as f:
+                        json.dump(plateau.state_dict(), f)
             if shutdown.requested:
                 if jax.process_index() == 0:
                     path = save_checkpoint(
