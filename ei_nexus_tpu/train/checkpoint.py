@@ -39,9 +39,22 @@ def save_checkpoint(ckpt_dir: str, state, epoch: int,
     return path
 
 
-def restore_checkpoint(path: str, state):
+def restore_checkpoint(path: str, state, params_only: bool = False):
     """Restore into an existing TrainState template. Returns
-    (state, epoch)."""
+    (state, epoch).
+
+    params_only=True skips the optimizer state — used by the eval entry
+    points, whose throwaway optimizer does not match the training one
+    (the reference loads only model state_dict at eval,
+    test_events-image_different_time.py:156).
+    """
+    ckptr = _checkpointer()
+    if params_only:
+        raw = _restore_raw(path)
+        new_state = state.replace(params=raw["params"],
+                                  batch_stats=raw["batch_stats"],
+                                  step=raw["step"])
+        return new_state, int(np.asarray(raw["epoch"]))
     template = {
         "params": state.params,
         "batch_stats": state.batch_stats,
@@ -49,7 +62,6 @@ def restore_checkpoint(path: str, state):
         "step": state.step,
         "epoch": np.asarray(0),
     }
-    ckptr = _checkpointer()
     restored = ckptr.restore(os.path.abspath(path), template)
     new_state = state.replace(
         params=restored["params"], batch_stats=restored["batch_stats"],

@@ -64,7 +64,7 @@ def main(argv=None):
     import optax
     state = create_train_state(model, variables, optax.sgd(0.0))
     if args.ckpt:
-        state, _ = restore_checkpoint(args.ckpt, state)
+        state, _ = restore_checkpoint(args.ckpt, state, params_only=True)
 
     losses = build_losses(cfg.get_path("train.loss", {}) or {})
     metrics = val_extractor(state, model, loader, rep, bins, H, W,

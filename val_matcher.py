@@ -54,7 +54,7 @@ def main(argv=None):
     import optax
     state = create_train_state(model, variables, optax.sgd(0.0))
     if args.ckpt:
-        state, _ = restore_checkpoint(args.ckpt, state)
+        state, _ = restore_checkpoint(args.ckpt, state, params_only=True)
 
     metrics = rpe_eval(state, model, loader, rep, bins, H, W,
                        max_batches=args.max_batches)
