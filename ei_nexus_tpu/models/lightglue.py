@@ -49,9 +49,9 @@ class LightGlueConfig:
     score_dtype: str = "float32"
     shard_heads: bool = False    # tensor-parallel: shard attention heads
                                  # over the mesh's "model" axis
-    attention_impl: str = "auto"  # "auto" | "xla" | "pallas": fused Pallas
-                                  # attention (inference only; XLA used for
-                                  # training/backprop and when shard_heads)
+    attention_impl: str = "auto"  # "auto" | "xla" | "flash": jax's blocked
+                                  # TPU flash kernel (inference only; XLA
+                                  # for training/backprop and shard_heads)
     scan_layers: bool = False    # lax.scan over the 9 identical layers:
                                  # one compiled layer body instead of nine
                                  # (param tree gains a leading layer axis;
@@ -145,9 +145,6 @@ def _attention(q, k, v, kv_mask: Optional[jax.Array],
                shard_heads: bool = False,
                impl: str = "xla",
                score_dtype=jnp.float32) -> jax.Array:
-    if impl == "pallas":
-        from ..ops.pallas_attention import self_attention
-        return self_attention(q, k, v, kv_mask)  # kernel applies the scale
     if impl == "flash" and _flash_supported(q.shape[2], q.shape[3]):
         return _flash_attention(q, k, v, kv_mask,
                                 sm_scale=q.shape[-1] ** -0.5).astype(q.dtype)
@@ -240,10 +237,7 @@ class CrossBlock(nn.Module):
         v0 = _maybe_shard_heads(split(to_v(x0), N), self.shard_heads)
         v1 = _maybe_shard_heads(split(to_v(x1), M), self.shard_heads)
 
-        if self.attn_impl == "pallas":
-            from ..ops.pallas_attention import cross_attention_bidir
-            m0, m1 = cross_attention_bidir(qk0, qk1, v0, v1, mask0, mask1)
-        elif self.attn_impl == "flash" and _flash_supported(N, hd) \
+        if self.attn_impl == "flash" and _flash_supported(N, hd) \
                 and M % 128 == 0:
             # two flash passes (qk pre-scaled on both sides -> sm_scale 1);
             # loses the shared-similarity trick but never touches HBM with
@@ -410,10 +404,7 @@ class LightGlue(nn.Module):
             # flash kernel (0.737 vs 0.750 ms at B=8), while flash costs a
             # second cross pass (no shared similarity) - full-pipeline
             # bench: XLA 277 pairs/s vs flash 145. "flash" stays available
-            # for larger head dims / token counts; "pallas" selects the
-            # local monolithic-tile kernels in ops/pallas_attention.py
-            # (correct, but their Mosaic compile hangs on the remote-TPU
-            # tunnel this round).
+            # for larger head dims / token counts.
             impl = "xla"
         attn_impl = impl if (not training and not cfg.shard_heads) else "xla"
 

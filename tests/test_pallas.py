@@ -69,35 +69,3 @@ class TestPallasSplat:
         assert float(jnp.abs(g).sum()) == 0.0
 
 
-class TestPallasAttention:
-    def test_self_attention_matches_xla(self, rng):
-        from ei_nexus_tpu.ops.pallas_attention import self_attention
-        from ei_nexus_tpu.models.lightglue import _attention_xla
-        B, h, N, d = 2, 4, 64, 16
-        q = jnp.asarray(rng.normal(size=(B, h, N, d)).astype(np.float32))
-        k = jnp.asarray(rng.normal(size=(B, h, N, d)).astype(np.float32))
-        v = jnp.asarray(rng.normal(size=(B, h, N, d)).astype(np.float32))
-        mask = jnp.asarray(rng.uniform(size=(B, N)) > 0.2)
-        want = np.asarray(_attention_xla(q, k, v, mask))
-        got = np.asarray(self_attention(q, k, v, mask, interpret=True))
-        np.testing.assert_allclose(got, want, atol=1e-5)
-
-    def test_cross_bidir_matches_xla(self, rng):
-        from ei_nexus_tpu.ops.pallas_attention import cross_attention_bidir
-        B, h, N, M, d = 1, 2, 48, 64, 16
-        qk0 = jnp.asarray(rng.normal(size=(B, h, N, d)).astype(np.float32))
-        qk1 = jnp.asarray(rng.normal(size=(B, h, M, d)).astype(np.float32))
-        v0 = jnp.asarray(rng.normal(size=(B, h, N, d)).astype(np.float32))
-        v1 = jnp.asarray(rng.normal(size=(B, h, M, d)).astype(np.float32))
-        m0 = jnp.asarray(rng.uniform(size=(B, N)) > 0.1)
-        m1 = jnp.asarray(rng.uniform(size=(B, M)) > 0.1)
-        g0, g1 = cross_attention_bidir(qk0, qk1, v0, v1, m0, m1,
-                                       interpret=True)
-        sim = jnp.einsum("bhid,bhjd->bhij", qk0, qk1)
-        joint = m0[:, None, :, None] & m1[:, None, None, :]
-        sim = jnp.where(joint, sim, -1e9)
-        w0 = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(sim, -1), v1)
-        w1 = jnp.einsum("bhij,bhjd->bhid",
-                        jax.nn.softmax(jnp.swapaxes(sim, -1, -2), -1), v0)
-        np.testing.assert_allclose(np.asarray(g0), np.asarray(w0), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(w1), atol=1e-5)
