@@ -15,9 +15,13 @@ tunnels, which acknowledge at enqueue.)
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference (PyTorch on one A800) publishes no throughput.
-BASELINE.md derives an estimate of ~20 pairs/s end-to-end for the reference
-eval pipeline (batch-1 python loops, CPU per-event rasterization ~40 ms/frame
-at 200k events, CPU RANSAC); `vs_baseline` is measured/20.
+tools/bench_reference_cpu.py MEASURES its CPU-bound stages with the actual
+reference code on this host (accumulation-image python loop 128 ms,
+torch-CPU voxel grid 59 ms, OpenCV essential RANSAC 10 ms per pair) and
+bounds the reference eval pipeline at 21.4 pairs/s with 4 loader workers
+and a 6 ms A800 speed-of-light forward; see BASELINE.md for the full
+derivation and a server-host sensitivity analysis. `vs_baseline` is
+measured/21.4.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ import time
 
 import numpy as np
 
-A800_BASELINE_PAIRS_PER_S = 20.0
+A800_BASELINE_PAIRS_PER_S = 21.4  # measured bound, tools/bench_reference_cpu.py
 
 
 def main():
