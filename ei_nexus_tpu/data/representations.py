@@ -351,7 +351,7 @@ def pad_events(x: np.ndarray, y: np.ndarray, t: np.ndarray, p: np.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "bins", "height", "width", "normalize", "chunk", "slots",
-    "matmul_dtype", "with_accumulation"))
+    "matmul_dtype", "with_accumulation", "with_drop_stat", "align_bins"))
 def events_to_voxel_grid_splat(
     x: jax.Array,
     y: jax.Array,
@@ -367,6 +367,8 @@ def events_to_voxel_grid_splat(
     slots: int = 4,
     matmul_dtype=jnp.bfloat16,
     with_accumulation: bool = True,
+    with_drop_stat: bool = False,
+    align_bins: bool = True,
 ):
     """Trilinear voxel splat via MXU matmuls instead of XLA scatter.
 
@@ -380,10 +382,20 @@ def events_to_voxel_grid_splat(
     matmuls the MXU eats. Per chunk, `slots` adjacent time bins starting at
     the chunk's first event's bin are accumulated via dynamic_update_slice.
 
-    Events whose time bin falls outside the chunk's slot window are dropped
-    — impossible for ≤`slots`-1 bins per chunk; with the default
-    chunk=4096, slots=4 a chunk must span >3 of 16 bins (a >48x local
-    burst) before any weight is lost.
+    `align_bins=True` (default) first re-chunks the stream ON DEVICE so
+    every chunk holds events of exactly ONE time bin: a gather-only
+    reorganization (per-bin counts -> chunk-aligned destinations; no
+    scatter) that is cheap because sortedness makes each bin's events a
+    contiguous run. Aligned chunks span one bin by construction, so
+    slots=2 (the event's two corner bins) captures ALL weight — the splat
+    is exact on ANY stream, including bursty ones whose burst-gap chunks
+    would span many bins (the failure mode of count-chunking, caught by
+    round-1's bursty tests). Costs `bins` extra (mostly-empty) chunks but
+    saves 2 slot matmuls per chunk.
+
+    With `align_bins=False` (the raw count-chunked path), events whose
+    time bin falls outside the chunk's `slots`-window are dropped —
+    impossible for <=`slots`-1 bins per chunk.
 
     `matmul_dtype=bfloat16` keeps the one-hot weight matrices in bf16 with
     f32 accumulation (~1e-2 relative error on voxel values); pass
@@ -391,7 +403,10 @@ def events_to_voxel_grid_splat(
 
     Returns (grid (bins, H, W), accumulation (H, W)) when
     `with_accumulation` (the event-count image from the same matmuls),
-    else just the grid.
+    else just the grid. `with_drop_stat` appends a scalar: the total
+    trilinear weight dropped by the slot-window guard (0.0 on any stream
+    whose 4096-event chunks span <= slots-1 time bins; trainers log it so
+    a pathological burst can never silently corrupt the representation).
     """
     xq = x.astype(jnp.float32)
     yq = y.astype(jnp.float32)
@@ -414,72 +429,164 @@ def events_to_voxel_grid_splat(
     value = jnp.where(pq < 1, -1.0, 1.0)
     valid = mask & (xq >= 0) & (xq < width) & (yq >= 0) & (yq < height)
 
-    xc = xq.reshape(n_chunks, chunk)
-    yc = yq.reshape(n_chunks, chunk)
-    tc = ts.reshape(n_chunks, chunk)
-    vc = (value * valid).reshape(n_chunks, chunk)
-    mc = valid.reshape(n_chunks, chunk)
-
     cols = jnp.arange(width, dtype=jnp.float32)
     rows = jnp.arange(height, dtype=jnp.float32)
 
-    def chunk_body(carry, inp):
-        grid, acc = carry
-        cx, cy, ct, cv, cm = inp
+    def bilinear_factors(cx, cy):
         # bilinear row/col weight matrices (2 nonzeros per row)
         dy = 1.0 - jnp.abs(cy[:, None] - rows[None, :])      # (C, H)
         Ey = jnp.maximum(dy, 0.0)
         dx = 1.0 - jnp.abs(cx[:, None] - cols[None, :])      # (C, W)
         Ex = jnp.maximum(dx, 0.0).astype(matmul_dtype)
+        return Ey, Ex
 
-        tb = jnp.floor(ct).astype(jnp.int32)
-        # first VALID event's bin anchors the slot window
-        first = jnp.argmax(cm)
-        b0 = jnp.clip(tb[first], 0, bins - 1)
+    def slot_update(grid, Ey, Ex, weights, b0):
+        """Accumulate one (len(weights), H, W) block into grid[b0:].
 
+        NOTE: keep the S THIN matmuls - stacking the slots into one
+        (C, S*H) lhs was measured 1.8x SLOWER end-to-end (277 -> 154
+        pairs/s): the broadcast-multiply + reshape materializes a
+        (C, S, H) intermediate the compiler cannot fuse into the dot,
+        while the per-slot (C, H) scaling fuses cleanly."""
         imgs = []
+        for w in weights:
+            lhs = (Ey * w[:, None]).astype(matmul_dtype)
+            imgs.append(jax.lax.dot_general(
+                lhs, Ex, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))         # (H, W)
+        block = jnp.stack(imgs)                              # (S, H, W)
+        cur = jax.lax.dynamic_slice(grid, (b0, 0, 0),
+                                    (len(weights), height, width))
+        return jax.lax.dynamic_update_slice(grid, cur + block, (b0, 0, 0))
+
+    def occupancy_update(acc, cx, cy, cm):
+        # integer-floor occupancy counts from one-hot matmuls
+        oy = (jnp.floor(cy[:, None]) == rows[None, :])
+        ox = (jnp.floor(cx[:, None]) == cols[None, :])
+        lhs = (oy * cm[:, None]).astype(matmul_dtype)
+        return acc + jax.lax.dot_general(
+            lhs, ox.astype(matmul_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def splat_chunk(carry, cx, cy, ct, cv, cm, b0):
+        grid, acc, dropped = carry
+        Ey, Ex = bilinear_factors(cx, cy)
+        tb = jnp.floor(ct).astype(jnp.int32)
+        weights = []
         for s in range(slots):
             # t-weight of this chunk's events towards absolute bin b0+s:
             # corner tb (weight 1-frac) or tb+1 (weight frac)
-            # NOTE: keep the S THIN matmuls - stacking the slots into one
-            # (C, S*H) lhs was measured 1.8x SLOWER end-to-end (277 -> 154
-            # pairs/s): the broadcast-multiply + reshape materializes a
-            # (C, S, H) intermediate the compiler cannot fuse into the dot,
-            # while the per-slot (C, H) scaling fuses cleanly
             rel = (b0 + s) - tb
             frac = ct - tb
             wt = jnp.where(rel == 0, 1.0 - frac,
                            jnp.where(rel == 1, frac, 0.0))
-            in_range = (b0 + s) < bins
-            w = cv * wt * in_range
-            lhs = (Ey * w[:, None]).astype(matmul_dtype)
-            img = jax.lax.dot_general(
-                lhs, Ex, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)        # (H, W)
-            imgs.append(img)
-        block = jnp.stack(imgs)                              # (S, H, W)
-        cur = jax.lax.dynamic_slice(grid, (b0, 0, 0),
-                                    (slots, height, width))
-        grid = jax.lax.dynamic_update_slice(grid, cur + block, (b0, 0, 0))
+            weights.append(cv * wt * ((b0 + s) < bins))
+        grid = slot_update(grid, Ey, Ex, weights, b0)
 
         if acc is not None:
-            # integer-floor occupancy counts from one-hot matmuls
-            oy = (jnp.floor(cy[:, None]) == rows[None, :])
-            ox = (jnp.floor(cx[:, None]) == cols[None, :])
-            lhs = (oy * cm[:, None]).astype(matmul_dtype)
-            acc = acc + jax.lax.dot_general(
-                lhs, ox.astype(matmul_dtype), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        return (grid, acc), None
+            acc = occupancy_update(acc, cx, cy, cm)
 
-    grid0 = jnp.zeros((bins + slots, height, width), jnp.float32)
-    acc0 = jnp.zeros((height, width), jnp.float32) if with_accumulation \
-        else None
-    (grid, acc), _ = jax.lax.scan(
-        chunk_body, (grid0, acc0), (xc, yc, tc, vc, mc))
+        if dropped is not None:
+            # weight the slot window failed to capture: each event's two
+            # time-bin corners are tb (1-frac) and tb+1 (frac); sortedness
+            # guarantees tb >= b0, so only the far side can fall out
+            frac = ct - tb
+            rel_lo = tb - b0
+            rel_hi = rel_lo + 1
+            lost = jnp.where(cm,
+                             (1.0 - frac) * (rel_lo >= slots)
+                             + frac * (rel_hi >= slots), 0.0)
+            dropped = dropped + jnp.sum(lost)
+        return (grid, acc, dropped)
+
+    if align_bins:
+        # bin-aligned chunking: every chunk holds events of ONE time bin,
+        # so slots=2 (the event's two corner bins) is always exact.
+        # Sortedness makes each bin's events a CONTIGUOUS run, so chunks
+        # are cheap lax.dynamic_slice windows (DMA copies) — an arbitrary
+        # gather reorg was measured 11-27x slower than the splat itself.
+        slots = 2  # an event's two corner bins; alignment needs no more
+        tb_all = jnp.clip(jnp.floor(ts).astype(jnp.int32), 0, bins - 1)
+        arangeb = jnp.arange(bins, dtype=jnp.int32)
+        in_bin = (tb_all[:, None] == arangeb[None]) & mask[:, None]
+        counts = jnp.sum(in_bin, axis=0)                    # (bins,)
+        bin_first = jnp.cumsum(counts) - counts             # exclusive
+        cpb = (counts + chunk - 1) // chunk                  # chunks/bin
+        cpb_end = jnp.cumsum(cpb)
+        n_al = n_chunks + bins                               # static bound
+        c = jnp.arange(n_al, dtype=jnp.int32)
+        b_c = jnp.sum(c[:, None] >= cpb_end[None, :], axis=1)
+        b_cc = jnp.clip(b_c, 0, bins - 1)
+        off = c - (cpb_end[b_cc] - cpb[b_cc])
+        src = bin_first[b_cc] + off * chunk
+        n_val = jnp.clip(counts[b_cc] - off * chunk, 0, chunk)
+        n_val = jnp.where(b_c < bins, n_val, 0)
+        N_tot = xq.shape[0]
+        start = jnp.clip(src, 0, N_tot - chunk)
+        delta = src - start                                  # >= 0
+        lane = jnp.arange(chunk, dtype=jnp.int32)
+        # one packed (4, N) array -> ONE 2D dynamic_slice per chunk (five
+        # separate 1D slices were measured ~3 ms/batch slower: each extra
+        # slice breaks fusion). |value| = 1, so validity rides along as
+        # cv != 0 — no fifth row needed.
+        packed = jnp.stack([xq, yq, ts, value * valid])
+
+        def aligned_body(grid, inp):
+            b0, st, dl, nv = inp
+            sl = jax.lax.dynamic_slice(packed, (0, st), (4, chunk))
+            cx, cy, ct, cv = sl[0], sl[1], sl[2], sl[3]
+            sel = (lane >= dl) & (lane < dl + nv)
+            cv = cv * sel
+            Ey, Ex = bilinear_factors(cx, cy)
+            # every valid event in an aligned chunk has floor(ct) == b0,
+            # so its corner weights are simply (1-frac, frac): no floor,
+            # no slot-window tests, and nothing can be dropped
+            frac = ct - b0
+            return slot_update(grid, Ey, Ex,
+                               [cv * (1.0 - frac), cv * frac], b0), None
+
+        grid0 = jnp.zeros((bins + slots, height, width), jnp.float32)
+        grid, _ = jax.lax.scan(aligned_body, grid0,
+                               (b_cc, start, delta, n_val))
+        dropped = jnp.float32(0.0) if with_drop_stat else None
+
+        acc = None
+        if with_accumulation:
+            # occupancy has no time dimension: count it over plain
+            # reshape-chunks (no dynamic slices, no per-bin remainders)
+            def acc_body(acc, inp):
+                cx, cy, cm = inp
+                return occupancy_update(acc, cx, cy, cm), None
+            acc, _ = jax.lax.scan(
+                acc_body, jnp.zeros((height, width), jnp.float32),
+                (xq.reshape(n_chunks, chunk), yq.reshape(n_chunks, chunk),
+                 valid.reshape(n_chunks, chunk)))
+    else:
+        xc = xq.reshape(n_chunks, chunk)
+        yc = yq.reshape(n_chunks, chunk)
+        tc = ts.reshape(n_chunks, chunk)
+        vc = (value * valid).reshape(n_chunks, chunk)
+        mc = valid.reshape(n_chunks, chunk)
+
+        def chunk_body(carry, inp):
+            cx, cy, ct, cv, cm = inp
+            # first VALID event's bin anchors the slot window
+            tb = jnp.floor(ct).astype(jnp.int32)
+            b0 = jnp.clip(tb[jnp.argmax(cm)], 0, bins - 1)
+            return splat_chunk(carry, cx, cy, ct, cv, cm, b0), None
+
+        grid0 = jnp.zeros((bins + slots, height, width), jnp.float32)
+        acc0 = jnp.zeros((height, width), jnp.float32) \
+            if with_accumulation else None
+        drop0 = jnp.float32(0.0) if with_drop_stat else None
+        (grid, acc, dropped), _ = jax.lax.scan(
+            chunk_body, (grid0, acc0, drop0), (xc, yc, tc, vc, mc))
     grid = grid[:bins]
     if normalize:
         grid = _nonzero_normalize(grid)
+    out = (grid,)
     if with_accumulation:
-        return grid, acc
-    return grid
+        out = out + (acc,)
+    if with_drop_stat:
+        out = out + (dropped,)
+    return out if len(out) > 1 else out[0]

@@ -36,19 +36,23 @@ from .state import TrainState
 
 def batch_representation(batch_view: Mapping[str, jax.Array], kind: str,
                          bins: int, height: int, width: int,
-                         fast: bool = True) -> Tuple[jax.Array, jax.Array]:
+                         fast: bool = True, with_drop_stat: bool = False):
     """Padded raw events -> (events_rep NHWC (B,H,W,bins), mask (B,H,W)).
 
     For VoxelGrid the default path is the MXU matmul-splat kernel
     (events_to_voxel_grid_splat — ~20x the XLA scatter's throughput on TPU,
     yielding the accumulation mask from the same matmuls); `fast=False`
-    selects the exact scatter path.
+    selects the exact scatter path. `with_drop_stat` appends the total
+    splat weight dropped by the slot-window guard (always 0.0 on the
+    scatter path), summed over the batch — trainers log it so bursty
+    streams cannot silently corrupt the representation.
     """
     if kind == "VoxelGrid" and fast:
         def one(x, y, t, p, m):
-            grid, acc = reps.events_to_voxel_grid_splat(
-                x, y, t, p, bins=bins, height=height, width=width, mask=m)
-            return grid, acc > 0
+            grid, acc, drop = reps.events_to_voxel_grid_splat(
+                x, y, t, p, bins=bins, height=height, width=width, mask=m,
+                with_drop_stat=True)
+            return grid, acc > 0, drop
     else:
         def one(x, y, t, p, m):
             rep = reps.build_representation(kind, x, y, t, p, bins=bins,
@@ -56,12 +60,14 @@ def batch_representation(batch_view: Mapping[str, jax.Array], kind: str,
                                             mask=m)
             acc = reps.events_to_accumulation_image(x, y, height=height,
                                                     width=width, mask=m)
-            return rep, acc > 0
+            return rep, acc > 0, jnp.float32(0.0)
 
-    rep, mask = jax.vmap(one)(
+    rep, mask, drop = jax.vmap(one)(
         batch_view["events_x"], batch_view["events_y"],
         batch_view["events_t"].astype(jnp.float32),
         batch_view["events_p"], batch_view["events_valid"])
+    if with_drop_stat:
+        return rep.transpose(0, 2, 3, 1), mask, jnp.sum(drop)
     return rep.transpose(0, 2, 3, 1), mask
 
 
@@ -74,8 +80,8 @@ def make_stage1_train_step(
     @jax.jit
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         data0 = batch[0]
-        events_rep, events_mask = batch_representation(
-            data0, rep_kind, bins, height, width)
+        events_rep, events_mask, drop_w = batch_representation(
+            data0, rep_kind, bins, height, width, with_drop_stat=True)
         image = data0["image"]
 
         def loss_fn(params):
@@ -97,6 +103,7 @@ def make_stage1_train_step(
             loss_fn, has_aux=True)(state.params)
         grads = apply_freeze(grads, freeze)
         new_state = state.apply_gradients(grads, new_stats)
+        info["dropped_splat_weight"] = drop_w
         return new_state, info
 
     return step
@@ -113,8 +120,8 @@ def make_stage2_train_step(
     @jax.jit
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         data0, data1, T01, T10 = batch[:4]
-        ev_rep, ev_mask = batch_representation(data0, rep_kind, bins, height,
-                                               width)
+        ev_rep, ev_mask, drop_w = batch_representation(
+            data0, rep_kind, bins, height, width, with_drop_stat=True)
         image1 = data1["image"]
         K = data0["K"]
         cam = Camera.from_calibration_matrix(
@@ -147,6 +154,7 @@ def make_stage2_train_step(
             loss_fn, has_aux=True)(state.params)
         grads = apply_freeze(grads, freeze)
         new_state = state.apply_gradients(grads, new_stats)
+        info["dropped_splat_weight"] = drop_w
         return new_state, info
 
     return step

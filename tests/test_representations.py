@@ -249,3 +249,124 @@ class TestMatmulSplat:
             mask=jnp.zeros(1024, bool), matmul_dtype=jnp.float32)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) == 0.0
+
+
+class TestBurstyStreams:
+    """Realistic event statistics: temporal bursts, hot pixels, timestamp
+    ties. The splat path must equal the exact scatter and report zero
+    dropped weight; a pathological burst must be DETECTED by the counter
+    (VERDICT r1 item 7)."""
+
+    @staticmethod
+    def bursty_events(rng, n, H, W, n_bursts=12, hot_frac=0.3, tie_frac=0.1):
+        # temporal bursts: timestamps clustered around burst centers
+        centers = np.sort(rng.uniform(0.02, 0.38, n_bursts))
+        which = rng.integers(0, n_bursts, n)
+        t = centers[which] + rng.normal(0, 0.004, n)
+        t = np.clip(t, 0, 0.4)
+        # ties: duplicate a fraction of timestamps exactly
+        n_tie = int(n * tie_frac)
+        t[:n_tie] = t[rng.integers(0, n, n_tie)]
+        t = np.sort(t).astype(np.float32)
+        # spatial: hot pixels get a big share of all events
+        hot = rng.integers(0, [H - 1, W - 1], (8, 2))
+        is_hot = rng.uniform(size=n) < hot_frac
+        hi = rng.integers(0, len(hot), n)
+        x = np.where(is_hot, hot[hi, 1] + rng.uniform(0, 1, n),
+                     rng.uniform(0, W - 1, n)).astype(np.float32)
+        y = np.where(is_hot, hot[hi, 0] + rng.uniform(0, 1, n),
+                     rng.uniform(0, H - 1, n)).astype(np.float32)
+        p = rng.integers(0, 2, n).astype(np.float32)
+        return x, y, t, p
+
+    def test_splat_exact_on_dense_bursty_stream(self, rng):
+        """High-rate bursty stream (realistic MVSEC flying rates): chunks
+        span < 1 bin even through bursts -> exact, zero drop."""
+        from ei_nexus_tpu.data.representations import (
+            events_to_voxel_grid_splat)
+        import jax.numpy as jnp
+        H, W, bins = 64, 80, 16
+        x, y, t, p = self.bursty_events(rng, 120000, H, W)
+        xp, yp, tp, pp, m = pad_events(x, y, t, p, 131072)
+        want = np.asarray(events_to_voxel_grid(
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(tp),
+            jnp.asarray(pp), bins=bins, height=H, width=W,
+            mask=jnp.asarray(m), normalize=False))
+        got, acc, drop = events_to_voxel_grid_splat(
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(tp),
+            jnp.asarray(pp), bins=bins, height=H, width=W,
+            mask=jnp.asarray(m), normalize=False,
+            matmul_dtype=jnp.float32, with_drop_stat=True)
+        assert float(drop) == 0.0
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_sparse_bursty_stream_drop_is_counted(self, rng):
+        """Low-rate bursty stream: chunks straddle burst gaps and DO lose
+        weight — the counter must equal the actual loss exactly."""
+        from ei_nexus_tpu.data.representations import (
+            events_to_voxel_grid_splat)
+        import jax.numpy as jnp
+        H, W, bins = 64, 80, 16
+        x, y, t, p = self.bursty_events(rng, 30000, H, W)
+        p = np.ones_like(p)  # all-positive so sums don't cancel
+        xp, yp, tp, pp, m = pad_events(x, y, t, p, 32768)
+        want = np.asarray(events_to_voxel_grid(
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(tp),
+            jnp.asarray(pp), bins=bins, height=H, width=W,
+            mask=jnp.asarray(m), normalize=False))
+        got, acc, drop = events_to_voxel_grid_splat(
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(tp),
+            jnp.asarray(pp), bins=bins, height=H, width=W,
+            mask=jnp.asarray(m), normalize=False, align_bins=False,
+            matmul_dtype=jnp.float32, with_drop_stat=True)
+        lost = float(want.sum() - np.asarray(got).sum())
+        assert float(drop) > 0.0
+        np.testing.assert_allclose(float(drop), lost, rtol=1e-3)
+
+        # the default bin-aligned path is EXACT on the same stream
+        ga, _, da = events_to_voxel_grid_splat(
+            jnp.asarray(xp), jnp.asarray(yp), jnp.asarray(tp),
+            jnp.asarray(pp), bins=bins, height=H, width=W,
+            mask=jnp.asarray(m), normalize=False,
+            matmul_dtype=jnp.float32, with_drop_stat=True)
+        assert float(da) == 0.0
+        np.testing.assert_allclose(np.asarray(ga), want, atol=1e-4)
+
+    def test_pathological_burst_detected(self, rng):
+        """A 4096-event chunk spanning > slots-1 time bins loses weight —
+        the counter must report it (and report how much)."""
+        from ei_nexus_tpu.data.representations import (
+            events_to_voxel_grid_splat)
+        import jax.numpy as jnp
+        H, W, bins = 32, 32, 16
+        n = 4096
+        # one chunk whose events sweep ALL 16 bins: guaranteed > 3-bin span
+        t = np.linspace(0, 0.4, n).astype(np.float32)
+        x = rng.uniform(0, W - 1, n).astype(np.float32)
+        y = rng.uniform(0, H - 1, n).astype(np.float32)
+        p = np.ones(n, np.float32)
+        g, acc, drop = events_to_voxel_grid_splat(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(t), jnp.asarray(p),
+            bins=bins, height=H, width=W, normalize=False, align_bins=False,
+            matmul_dtype=jnp.float32, with_drop_stat=True)
+        want = np.asarray(events_to_voxel_grid(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(t), jnp.asarray(p),
+            bins=bins, height=H, width=W, normalize=False))
+        lost_actual = float(np.abs(want).sum() - np.abs(np.asarray(g)).sum())
+        assert float(drop) > 0.0
+        # counter magnitude ~= actually-lost weight (all-positive polarity)
+        np.testing.assert_allclose(float(drop), lost_actual, rtol=1e-3)
+
+    def test_drop_stat_flows_through_train_batch(self, rng):
+        from ei_nexus_tpu.train.steps import batch_representation
+        import jax.numpy as jnp
+        H, W = 32, 40
+        x, y, t, p = self.bursty_events(rng, 40000, H, W)
+        xp, yp, tp, pp, m = pad_events(x, y, t, p, 65536)
+        bv = {k: jnp.asarray(v)[None] for k, v in zip(
+            ("events_x", "events_y", "events_t", "events_p",
+             "events_valid"), (xp, yp, tp, pp, m))}
+        rep, mask, drop = batch_representation(bv, "VoxelGrid", 8, H, W,
+                                               with_drop_stat=True)
+        assert rep.shape == (1, H, W, 8)
+        assert float(drop) == 0.0

@@ -22,8 +22,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--chunks", default="2048,4096,8192")
     p.add_argument("--slots", default="4")
+    p.add_argument("--align", default="0,1")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max-events", type=int, default=1 << 17)
     args = p.parse_args(argv)
 
     import jax
@@ -34,7 +36,7 @@ def main(argv=None):
 
     H, W, bins = 260, 346, 16
     B, N = args.batch, args.iters
-    mx = 1 << 17
+    mx = args.max_events
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.uniform(0, W - 1, (B, mx)).astype(np.float32))
     y = jax.device_put(rng.uniform(0, H - 1, (B, mx)).astype(np.float32))
@@ -42,12 +44,15 @@ def main(argv=None):
                                axis=1).astype(np.float32))
     pol = jax.device_put(rng.integers(0, 2, (B, mx)).astype(np.float32))
 
-    for chunk in [int(c) for c in args.chunks.split(",")]:
-        for slots in [int(s) for s in args.slots.split(",")]:
-            def one(x, y, t, p, chunk=chunk, slots=slots):
+    import itertools
+    for chunk, slots, align in itertools.product(
+            [int(c) for c in args.chunks.split(",")],
+            [int(s) for s in args.slots.split(",")],
+            [bool(int(a)) for a in args.align.split(",")]):
+            def one(x, y, t, p, chunk=chunk, slots=slots, align=align):
                 g, acc = reps.events_to_voxel_grid_splat(
                     x, y, t, p, bins=bins, height=H, width=W,
-                    chunk=chunk, slots=slots)
+                    chunk=chunk, slots=slots, align_bins=align)
                 return jnp.sum(g) * 1e-9 + jnp.sum(acc) * 1e-9
 
             @jax.jit
@@ -65,8 +70,9 @@ def main(argv=None):
                 float(chained(x, y, t, pol))
                 best = min(best, time.perf_counter() - t0)
             print(json.dumps({"chunk": chunk, "slots": slots,
+                              "align": align,
                               "ms_per_batch": round(best / N * 1e3, 2),
-                              "batch": B}))
+                              "batch": B}), flush=True)
 
 
 if __name__ == "__main__":
