@@ -1,13 +1,17 @@
 """Run logger: timestamped run dir, TensorBoard + file log + rich console,
 running-average status flushes, config snapshot and source backup.
 
-Parity with reference `utils/logger.py:12` (Logger) and the wandb hooks in
-the trainers (wandb is not available in this environment; the interface
-accepts an optional `extra_sink` callable filling that role).
+Parity with reference `utils/logger.py:12` (Logger) and the wandb dual-sink
+in the trainers (reference train_extractor.py:316-318 logs each scalar dict
+to BOTH TensorBoard and wandb). wandb is not available in this environment,
+so the second sink is a machine-readable `metrics.jsonl` stream in the run
+dir (one `{"step": N, ...scalars}` line per write — greppable, plottable,
+resumable); an optional `extra_sink` callable can add a third.
 """
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import shutil
@@ -21,13 +25,16 @@ class Logger:
                  status_freq: int = 50,
                  backup_paths: Optional[Iterable[str]] = None,
                  extra_sink: Optional[Callable[[Dict, int], None]] = None,
-                 use_tensorboard: bool = True):
+                 use_tensorboard: bool = True,
+                 use_jsonl: bool = True):
         stamp = time.strftime("%Y%m%d-%H%M%S")
         self.run_dir = os.path.join(output_dir, f"{stamp}_{exp_name}")
         os.makedirs(self.run_dir, exist_ok=True)
         os.makedirs(os.path.join(self.run_dir, "checkpoints"), exist_ok=True)
         self.status_freq = status_freq
         self.extra_sink = extra_sink
+        self._jsonl = open(os.path.join(self.run_dir, "metrics.jsonl"),
+                           "a", buffering=1) if use_jsonl else None
 
         self._logger = logging.getLogger(f"ei_nexus.{stamp}")
         self._logger.setLevel(logging.INFO)
@@ -73,6 +80,10 @@ class Logger:
         if self.tb is not None:
             for k, v in scalars.items():
                 self.tb.add_scalar(k, float(v), step)
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(
+                {"step": step, **{k: float(v) for k, v in scalars.items()}})
+                + "\n")
         if self.extra_sink is not None:
             self.extra_sink(scalars, step)
 
@@ -102,3 +113,21 @@ class Logger:
     def close(self) -> None:
         if self.tb is not None:
             self.tb.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
+            self._jsonl = None
+
+
+def logger_from_config(cfg, exp_name: str) -> Logger:
+    """Build a Logger from a run config's optional `logger:` section
+    (reference configs/defaults.yaml:5-8: status_freq, files_to_backup,
+    dirs_to_backup). Falls back to a top-level `status_freq` for older
+    configs."""
+    lcfg = cfg.get("logger") or {}
+    backups = list(lcfg.get("files_to_backup") or []) + \
+        list(lcfg.get("dirs_to_backup") or [])
+    return Logger(
+        exp_name,
+        output_dir=lcfg.get("output_dir", "runs"),
+        status_freq=lcfg.get("status_freq", cfg.get("status_freq", 50)),
+        backup_paths=[p for p in backups if os.path.exists(p)] or None)

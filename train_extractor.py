@@ -62,7 +62,7 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    from ei_nexus_tpu.utils import load_config, Logger
+    from ei_nexus_tpu.utils import load_config, logger_from_config
     from ei_nexus_tpu.utils.config import save_config
     from ei_nexus_tpu.models import EIM, eim_config_from_dict
     from ei_nexus_tpu.models.eim import EIMConfig
@@ -84,8 +84,7 @@ def main(argv=None):
     apply_platform(cfg.get("device"))
     from ei_nexus_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    logger = Logger(cfg.get("experiment", "stage1"),
-                    status_freq=cfg.get("status_freq", 50))
+    logger = logger_from_config(cfg, cfg.get("experiment", "stage1"))
     save_config(cfg, os.path.join(logger.run_dir, "config.yaml"))
     logger.log_info(f"devices: {jax.devices()}")
     np.random.seed(cfg.get("seed", 3407))
