@@ -49,14 +49,25 @@ def main():
     max_events = 1 << 17
     N = 10  # chained iterations per timing run
 
-    ev = {
-        "events_x": rng.uniform(0, W - 1, (B, max_events)).astype(np.float32),
-        "events_y": rng.uniform(0, H - 1, (B, max_events)).astype(np.float32),
-        "events_t": np.sort(rng.uniform(0, 0.4, (B, max_events)),
-                            axis=1).astype(np.float32),
-        "events_p": rng.integers(0, 2, (B, max_events)).astype(np.float32),
-        "events_valid": np.ones((B, max_events), bool),
-    }
+    # realistic bursty/hot-pixel/tied-timestamp streams by default — the
+    # regime that stresses chunked voxelization and NMS iteration counts;
+    # EI_NEXUS_BENCH_EVENTS=uniform restores the synthetic-uniform inputs
+    if os.environ.get("EI_NEXUS_BENCH_EVENTS", "bursty") == "bursty":
+        from ei_nexus_tpu.data.synth import bursty_event_batch
+        ev = bursty_event_batch(rng, B, int(max_events * 0.95), max_events,
+                                H, W)
+    else:
+        ev = {
+            "events_x": rng.uniform(
+                0, W - 1, (B, max_events)).astype(np.float32),
+            "events_y": rng.uniform(
+                0, H - 1, (B, max_events)).astype(np.float32),
+            "events_t": np.sort(rng.uniform(0, 0.4, (B, max_events)),
+                                axis=1).astype(np.float32),
+            "events_p": rng.integers(
+                0, 2, (B, max_events)).astype(np.float32),
+            "events_valid": np.ones((B, max_events), bool),
+        }
     image = rng.uniform(0, 255, (B, H, W, 1)).astype(np.float32)
 
     rep0, mask0 = batch_representation(ev, "VoxelGrid", bins, H, W)

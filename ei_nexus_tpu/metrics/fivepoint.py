@@ -1,0 +1,283 @@
+"""Batched 5-point minimal essential-matrix solver (Nistér 2004), TPU-native.
+
+The reference's RPE protocol estimates E with `cv2.findEssentialMat`
+(matching_metrics.py:427), which uses the 5-point Nistér minimal solver
+inside RANSAC; our 8-point jax backend diverges from it in the few-match
+regime (8 <= n < ~15). This module closes that gap on device.
+
+Design for XLA/TPU (no data-dependent shapes, no nonsymmetric eig — which
+TPU/XLA does not provide):
+
+ 1. nullspace of the (5, 9) epipolar constraint matrix via SVD ->
+    E(x, y, z) = x X + y Y + z Z + W over a 4-dim basis;
+ 2. the ten cubic constraints det(E) = 0 and
+    2 E E^T E - tr(E E^T) E = 0 are expanded into a (10, 20) coefficient
+    matrix over trivariate monomials using STATIC multiplication tables
+    (deg1*deg1 -> deg2, deg2*deg1 -> deg3) built once in numpy — every
+    product is a tiny einsum, batchable over hypothesis sets;
+ 3. Gauss-Jordan elimination = one batched 10x10 `linalg.solve`;
+ 4. Nistér's <k>, <l>, <m> rows give a 3x3 matrix B(z) of univariate
+    polynomials whose determinant n(z) has degree 10; its REAL roots are
+    found by sign changes of the homogenized form
+    sum_i c_i sin^i(t) cos^(10-i)(t) on a tan-substitution grid, refined
+    by fixed-iteration bisection — branch-free, fully batched;
+ 5. each real root z gives (x, y) from a least-squares 3x2 solve and a
+    candidate E.
+
+All steps are published math (Nistér, "An efficient solution to the
+five-point relative pose problem", PAMI 2004); implemented from the paper,
+not ported from any solver.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# static monomial bookkeeping (numpy, module-load time)
+# ---------------------------------------------------------------------------
+
+# canonical monomial lists by total degree in (x, y, z)
+_DEG1 = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]            # x, y, z, 1
+_DEG2 = [m for m in itertools.product(range(3), repeat=3) if sum(m) <= 2]
+_DEG3 = [m for m in itertools.product(range(4), repeat=3) if sum(m) <= 3]
+_I2 = {m: i for i, m in enumerate(_DEG2)}                        # 10
+_I3 = {m: i for i, m in enumerate(_DEG3)}                        # 20
+
+
+def _mul_table(basis_a, basis_b, basis_out):
+    """One-hot tensor T s.t. (a outer b).flat @ T = product coefficients."""
+    T = np.zeros((len(basis_a) * len(basis_b), len(basis_out)), np.float32)
+    idx = {m: i for i, m in enumerate(basis_out)}
+    for i, ma in enumerate(basis_a):
+        for j, mb in enumerate(basis_b):
+            m = tuple(x + y for x, y in zip(ma, mb))
+            T[i * len(basis_b) + j, idx[m]] = 1.0
+    return T
+
+
+_T11 = _mul_table(_DEG1, _DEG1, _DEG2)                           # (16, 10)
+_T21 = _mul_table(_DEG2, _DEG1, _DEG3)                           # (40, 20)
+
+# Nistér's column order: 10 leading monomials eliminated by Gauss-Jordan,
+# 10 trailing ones kept (grouped as x*, y*, const)
+_LEAD = [(3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1),
+         (2, 0, 0), (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0)]
+_TRAIL = [(1, 0, 2), (1, 0, 1), (1, 0, 0), (0, 1, 2), (0, 1, 1),
+          (0, 1, 0), (0, 0, 3), (0, 0, 2), (0, 0, 1), (0, 0, 0)]
+_PERM = np.array([_I3[m] for m in _LEAD + _TRAIL], np.int32)
+
+# row positions (within _LEAD) of the monomials Nistér pairs up
+_ROW_X2Z, _ROW_X2, _ROW_Y2Z, _ROW_Y2, _ROW_XYZ, _ROW_XY = 4, 5, 6, 7, 8, 9
+
+
+def _conv_table(la: int, lb: int) -> np.ndarray:
+    """One-hot tensor for 1-D polynomial multiply of coeff lengths la, lb."""
+    T = np.zeros((la * lb, la + lb - 1), np.float32)
+    for i in range(la):
+        for j in range(lb):
+            T[i * lb + j, i + j] = 1.0
+    return T
+
+
+# ---------------------------------------------------------------------------
+# batched polynomial helpers
+# ---------------------------------------------------------------------------
+
+def _p11(a, b):
+    """(..., 4) x (..., 4) -> (..., 10)"""
+    o = (a[..., :, None] * b[..., None, :]).reshape(*a.shape[:-1], 16)
+    return o @ jnp.asarray(_T11, a.dtype)
+
+
+def _p21(a, b):
+    """(..., 10) x (..., 4) -> (..., 20)"""
+    o = (a[..., :, None] * b[..., None, :]).reshape(*a.shape[:-1], 40)
+    return o @ jnp.asarray(_T21, a.dtype)
+
+
+def _polymul(a, b):
+    """ascending-coefficient univariate multiply, static lengths."""
+    la, lb = a.shape[-1], b.shape[-1]
+    o = (a[..., :, None] * b[..., None, :]).reshape(*a.shape[:-1], la * lb)
+    return o @ jnp.asarray(_conv_table(la, lb), a.dtype)
+
+
+# ---------------------------------------------------------------------------
+# the solver
+# ---------------------------------------------------------------------------
+
+def _nullspace_basis(p0, p1):
+    """(S, 5, 2) x2 -> (S, 4, 3, 3) nullspace basis (X, Y, Z, W)."""
+    x0, y0 = p0[..., 0], p0[..., 1]
+    x1, y1 = p1[..., 0], p1[..., 1]
+    ones = jnp.ones_like(x0)
+    A = jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1,
+                   x0, y0, ones], axis=-1)                       # (S, 5, 9)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    basis = Vt[..., 5:, :]                                       # (S, 4, 9)
+    return basis.reshape(*basis.shape[:-1], 3, 3)
+
+
+def _constraint_matrix(basis):
+    """(S, 4, 3, 3) -> (S, 10, 20) cubic-constraint coefficients
+    (canonical monomial order _DEG3)."""
+    # E entries as degree-1 polynomials over (x, y, z, 1):
+    # coefficient of x is X[i,j], ..., of 1 is W[i,j]
+    Ep = jnp.moveaxis(basis, -3, -1)                             # (S,3,3,4)
+
+    # EE^T entries (degree 2)
+    G = jnp.einsum("...ikp,...jkq,pqm->...ijm", Ep, Ep,
+                   jnp.asarray(_T11, Ep.dtype).reshape(4, 4, 10))
+    tr = G[..., 0, 0, :] + G[..., 1, 1, :] + G[..., 2, 2, :]     # (S,10)
+    T = 2.0 * G - tr[..., None, None, :] * jnp.eye(3, dtype=Ep.dtype
+                                                   )[..., :, :, None]
+    # (T E) entries (degree 3): nine equations
+    TE = jnp.einsum("...ikp,...kjq,pqm->...ijm", T, Ep,
+                    jnp.asarray(_T21, Ep.dtype).reshape(10, 4, 20))
+    eqs = TE.reshape(*TE.shape[:-3], 9, 20)
+
+    # det(E) (degree 3): cofactor expansion along the first row
+    def minor(i0, i1, j0, j1):
+        return _p11(Ep[..., i0, j0, :], Ep[..., i1, j1, :]) - \
+            _p11(Ep[..., i0, j1, :], Ep[..., i1, j0, :])
+    det = (_p21(minor(1, 2, 1, 2), Ep[..., 0, 0, :])
+           - _p21(minor(1, 2, 0, 2), Ep[..., 0, 1, :])
+           + _p21(minor(1, 2, 0, 1), Ep[..., 0, 2, :]))          # (S, 20)
+
+    return jnp.concatenate([det[..., None, :], eqs], axis=-2)    # (S,10,20)
+
+
+def _action_polys(C):
+    """Reduced trailing block (S, 10, 10) -> B(z) coefficient tensors.
+
+    Returns (bx, by, b1): (S, 3, 4), (S, 3, 4), (S, 3, 5) ascending
+    z-coefficients of the 3x3 Nistér matrix rows <k>, <l>, <m>.
+    Row identity: for paired rows (a = mono*z row, b = mono row),
+    <row> = (C_a - z C_b) . trailing = 0.
+    """
+    def kx(Ca, Cb):
+        # trailing x-group: xz^2, xz, x at indices 0, 1, 2
+        return jnp.stack([Ca[..., 2], Ca[..., 1] - Cb[..., 2],
+                          Ca[..., 0] - Cb[..., 1], -Cb[..., 0]], axis=-1)
+
+    def ky(Ca, Cb):
+        return jnp.stack([Ca[..., 5], Ca[..., 4] - Cb[..., 5],
+                          Ca[..., 3] - Cb[..., 4], -Cb[..., 3]], axis=-1)
+
+    def k1(Ca, Cb):
+        # const group: z^3, z^2, z, 1 at indices 6..9
+        return jnp.stack([Ca[..., 9], Ca[..., 8] - Cb[..., 9],
+                          Ca[..., 7] - Cb[..., 8], Ca[..., 6] - Cb[..., 7],
+                          -Cb[..., 6]], axis=-1)
+
+    pairs = [(_ROW_X2Z, _ROW_X2), (_ROW_Y2Z, _ROW_Y2), (_ROW_XYZ, _ROW_XY)]
+    bx = jnp.stack([kx(C[..., a, :], C[..., b, :]) for a, b in pairs], -2)
+    by = jnp.stack([ky(C[..., a, :], C[..., b, :]) for a, b in pairs], -2)
+    b1 = jnp.stack([k1(C[..., a, :], C[..., b, :]) for a, b in pairs], -2)
+    return bx, by, b1
+
+
+def _det_poly(bx, by, b1):
+    """det of the 3x3 polynomial matrix [bx | by | b1] -> (S, 11)."""
+    def m2(c0, c1, r0, r1):
+        cols = (bx, by, b1)
+        return _polymul(cols[c0][..., r0, :], cols[c1][..., r1, :]) - \
+            _polymul(cols[c0][..., r1, :], cols[c1][..., r0, :])
+    # expand along the b1 column (degree 4) times 2x2 minors of (bx, by)
+    out = (_polymul(b1[..., 0, :], m2(0, 1, 1, 2))
+           - _polymul(b1[..., 1, :], m2(0, 1, 0, 2))
+           + _polymul(b1[..., 2, :], m2(0, 1, 0, 1)))
+    return out                                                   # (S, 11)
+
+
+def _real_roots_deg10(coeffs, n_grid: int = 256, n_bisect: int = 48):
+    """Real roots of ascending-coefficient degree-10 polynomials.
+
+    coeffs: (S, 11). Returns (roots (S, 10), valid (S, 10)). Uses the
+    homogenized evaluation n(tan t) * cos^10 t = sum c_i sin^i t
+    cos^(10-i) t, which is finite and stable over t in (-pi/2, pi/2),
+    so arbitrarily large real roots are found without scaling games.
+    """
+    scale = jnp.max(jnp.abs(coeffs), axis=-1, keepdims=True)
+    c = coeffs / jnp.maximum(scale, 1e-30)
+
+    def hterms(t):
+        # integer_pow keeps negative sin bases exact (float exponents
+        # of negative bases would be nan)
+        s, co = jnp.sin(t), jnp.cos(t)
+        return jnp.stack([s ** i * co ** (10 - i) for i in range(11)], -1)
+
+    eps = 1e-4
+    ts = jnp.linspace(-jnp.pi / 2 + eps, jnp.pi / 2 - eps, n_grid,
+                      dtype=coeffs.dtype)
+    vals = c @ hterms(ts).T                                      # (S, G)
+    sgn = jnp.sign(vals)
+    change = (sgn[:, :-1] * sgn[:, 1:]) < 0                      # (S, G-1)
+
+    def per_sample(ch, ci):
+        idx = jnp.nonzero(ch, size=10, fill_value=0)[0]
+        valid = ch[idx]                # fill entries: duplicates or False
+        lo = ts[idx]
+        hi = ts[idx + 1]
+
+        def hv(t):
+            return hterms(t) @ ci
+
+        def body(carry, _):
+            lo, hi, f_lo = carry
+            mid = 0.5 * (lo + hi)
+            f_m = hv(mid)
+            left = f_lo * f_m <= 0
+            return (jnp.where(left, lo, mid), jnp.where(left, mid, hi),
+                    jnp.where(left, f_lo, f_m)), None
+        (lo, hi, _), _ = jax.lax.scan(body, (lo, hi, hv(lo)), None,
+                                      length=n_bisect)
+        return jnp.tan(0.5 * (lo + hi)), valid
+
+    return jax.vmap(per_sample)(change, c)
+
+
+def five_point_candidates(p0: jax.Array, p1: jax.Array):
+    """(S, 5, 2), (S, 5, 2) normalized correspondences ->
+    (E (S, 10, 3, 3), valid (S, 10)): all real-root essential-matrix
+    candidates of each minimal problem (unit Frobenius norm)."""
+    basis = _nullspace_basis(p0, p1)                             # (S,4,3,3)
+    M = _constraint_matrix(basis)                                # (S,10,20)
+    Mp = M[..., jnp.asarray(_PERM)]
+    A, B = Mp[..., :10], Mp[..., 10:]
+    # guard singular leading blocks (degenerate samples): detectable via
+    # non-finite C afterwards
+    C = jnp.linalg.solve(A, B)                                   # (S,10,10)
+    bx, by, b1 = _action_polys(C)
+    n = _det_poly(bx, by, b1)                                    # (S, 11)
+    z, valid = _real_roots_deg10(n)                              # (S, 10)
+
+    # x, y from least squares over the three rows of B(z)
+    zp4 = z[..., None] ** jnp.arange(4, dtype=z.dtype)           # (S,10,4)
+    zp5 = z[..., None] ** jnp.arange(5, dtype=z.dtype)
+    Ax = jnp.einsum("...rc,...kc->...kr", bx, zp4)               # (S,10,3)
+    Ay = jnp.einsum("...rc,...kc->...kr", by, zp4)
+    bz = -jnp.einsum("...rc,...kc->...kr", b1, zp5)
+    # normal equations of the 3x2 system [Ax Ay] [x y]^T = bz
+    axx = jnp.sum(Ax * Ax, -1)
+    axy = jnp.sum(Ax * Ay, -1)
+    ayy = jnp.sum(Ay * Ay, -1)
+    bxs = jnp.sum(Ax * bz, -1)
+    bys = jnp.sum(Ay * bz, -1)
+    det = axx * ayy - axy * axy
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    x = (bxs * ayy - bys * axy) / det
+    y = (axx * bys - axy * bxs) / det
+
+    xyz1 = jnp.stack([x, y, z, jnp.ones_like(z)], axis=-1)       # (S,10,4)
+    E = jnp.einsum("...kc,...cij->...kij", xyz1, basis)          # (S,10,3,3)
+    norm = jnp.sqrt(jnp.sum(E * E, axis=(-2, -1), keepdims=True))
+    E = E / jnp.maximum(norm, 1e-30)
+    finite = jnp.isfinite(E).all(axis=(-2, -1))
+    return E, valid & finite

@@ -153,12 +153,15 @@ class RelativePoseEstimation:
     (reference RelativePoseEstimation:347). The headline RPE metric.
 
     backend="opencv": the reference's exact protocol (host, per pair).
-    backend="jax": batched on-device 8-point RANSAC (metrics/ransac.py).
+    backend="jax": batched on-device RANSAC (metrics/ransac.py); `solver`
+    picks "8pt" (fastest) or "5pt" (Nistér minimal solver — the same
+    hypothesis family as cv2.findEssentialMat, metrics/fivepoint.py).
     """
 
     def __init__(self, name: str, pose_thresh: Sequence[float],
                  ransac_thresh: float = 1.0, ransac_conf: float = 0.999,
-                 ordering: str = "yx", backend: str = "opencv") -> None:
+                 ordering: str = "yx", backend: str = "opencv",
+                 solver: str = "5pt") -> None:
         assert ordering in ("xy", "yx")
         self.metric_name = name
         self.pose_thresh = list(pose_thresh)
@@ -166,6 +169,7 @@ class RelativePoseEstimation:
         self.ransac_conf = ransac_conf
         self.ordering = ordering
         self.backend = backend
+        self.solver = solver
         self.error_list: List[float] = []
 
     # -- pose estimation ---------------------------------------------------
@@ -185,7 +189,8 @@ class RelativePoseEstimation:
                                        K1[1, 1]])
         if self.backend == "jax":
             from .ransac import estimate_pose_jax
-            return estimate_pose_jax(p1n, p2n, ransac_thr)
+            return estimate_pose_jax(p1n, p2n, ransac_thr,
+                                     solver=self.solver)
         import cv2
         E, mask = cv2.findEssentialMat(p1n, p2n, np.eye(3),
                                        threshold=ransac_thr, prob=conf,
@@ -261,7 +266,8 @@ class RelativePoseEstimation:
         rets = estimate_pose_batch_from_matches(
             np.asarray(positions0), np.asarray(positions1),
             np.asarray(matches0), np.asarray(K0), np.asarray(K1),
-            self.ransac_thresh, ordering=self.ordering)
+            self.ransac_thresh, ordering=self.ordering,
+            solver=self.solver)
         return [self._score_pose(ret, np.asarray(T_0to1)[b])
                 for b, ret in enumerate(rets)]
 

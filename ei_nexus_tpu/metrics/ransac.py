@@ -15,10 +15,14 @@ Algorithm (all shapes static):
     (linear two-view triangulation, count positive depths);
  6. optional one least-squares refit on the inliers of the winner.
 
-Accuracy note: 8-point is used instead of the 5-point minimal solver (the
-polynomial root-finding of 5-point maps poorly to SIMD); with S=512+
-hypotheses and a refit this matches OpenCV's RANSAC within the eval noise
-on synthetic scenes (see tests/test_metrics.py).
+Two minimal solvers are available (`solver=`):
+ - "5pt" (default): batched Nistér 5-point (metrics/fivepoint.py) — the
+   same hypothesis family as the reference's cv2.findEssentialMat.
+   Measured more accurate than 8pt at every match count (median R_err
+   0.25-0.78 deg vs cv2's 0.48-1.24 on synthetic scenes) and ~4x faster
+   per scored hypothesis (each sample yields up to 10 candidates).
+ - "8pt": SVD nullspace + essential-manifold projection. Kept for
+   cross-checks; it cannot solve the low-match regime (n < ~15).
 """
 
 from __future__ import annotations
@@ -98,31 +102,41 @@ def _triangulate_depths(p0h, p1h, R, t):
     return z0, z1
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+@functools.partial(jax.jit, static_argnames=("n_hypotheses", "solver"))
 def estimate_essential_ransac(
     p0: jax.Array, p1: jax.Array, mask: jax.Array, thresh: jax.Array,
-    key: jax.Array, n_hypotheses: int = 512,
+    key: jax.Array, n_hypotheses: int = 512, solver: str = "8pt",
 ):
     """RANSAC essential matrix for one pair (fixed-size, maskable).
 
     p0, p1: (N, 2) K-normalized coords; mask: (N,) valid correspondences;
-    thresh: scalar inlier threshold (normalized units).
+    thresh: scalar inlier threshold (normalized units). solver: "8pt"
+    (one hypothesis per sample) or "5pt" (Nistér minimal solver, up to 10
+    candidates per sample — the reference's cv2.findEssentialMat protocol,
+    matching_metrics.py:427; see metrics/fivepoint.py).
     Returns (E (3,3), inliers (N,) bool, n_inliers).
     """
-    N = p0.shape[0]
     logits = jnp.where(mask, 0.0, -jnp.inf)
-    idx = jax.random.categorical(key, logits,
-                                 shape=(n_hypotheses, 8))  # (S, 8)
-    s0 = p0[idx]                                          # (S, 8, 2)
-    s1 = p1[idx]
-    E = _eight_point(s0, s1)                              # (S, 3, 3)
+    if solver == "5pt":
+        from .fivepoint import five_point_candidates
+        idx = jax.random.categorical(key, logits,
+                                     shape=(n_hypotheses, 5))
+        E, valid = five_point_candidates(p0[idx], p1[idx])     # (S,10,3,3)
+        E = E.reshape(-1, 3, 3)
+        valid = valid.reshape(-1)
+    else:
+        idx = jax.random.categorical(key, logits,
+                                     shape=(n_hypotheses, 8))  # (S, 8)
+        E = _eight_point(p0[idx], p1[idx])                     # (S, 3, 3)
+        valid = jnp.ones(E.shape[0], bool)
+    E = jnp.where(jnp.isfinite(E).all((-2, -1), keepdims=True), E, 0.0)
     d = _sym_epi_dist(p0, p1, E)                          # (S, N)
     inl = (d < thresh) & mask[None]
-    scores = inl.sum(-1)
+    scores = jnp.where(valid, inl.sum(-1), -1)
     best = jnp.argmax(scores)
     E_best = E[best]
     inliers = inl[best]
-    return E_best, inliers, scores[best]
+    return E_best, inliers, jnp.maximum(scores[best], 0)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -146,12 +160,22 @@ def recover_pose_from_essential(E: jax.Array, p0: jax.Array, p1: jax.Array,
 
 
 def estimate_pose_jax(p0n: np.ndarray, p1n: np.ndarray, thresh: float,
-                      n_hypotheses: int = 1024, max_n: int = 2048,
-                      seed: int = 0):
+                      n_hypotheses: int = None, max_n: int = 2048,
+                      seed: int = 0, solver: str = "5pt"):
     """Host-friendly wrapper matching the OpenCV-backend contract of
-    `RelativePoseEstimation.estimate_pose`: (R, t, inlier_mask) or None."""
+    `RelativePoseEstimation.estimate_pose`: (R, t, inlier_mask) or None.
+
+    solver="5pt" (default) is the reference's protocol family AND measured
+    both faster (10 candidates per sample -> 128 samples score like 1280
+    hypotheses) and more accurate than 8pt at every match count; in the
+    low-match regime (n < 15) 8pt fails outright (see tests/test_fivepoint
+    and BASELINE.md). n_hypotheses=None auto-picks 128 (5pt) / 1024 (8pt).
+    """
+    if n_hypotheses is None:
+        n_hypotheses = 128 if solver == "5pt" else 1024
+    min_n = 5 if solver == "5pt" else 8
     n = len(p0n)
-    if n < 8:
+    if n < min_n:
         return None
     n_pad = min(max_n, int(2 ** np.ceil(np.log2(max(n, 8)))))
     if n > n_pad:
@@ -165,8 +189,8 @@ def estimate_pose_jax(p0n: np.ndarray, p1n: np.ndarray, thresh: float,
     E, inliers, n_inl = estimate_essential_ransac(
         jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(mask),
         jnp.asarray(thresh, jnp.float32), jax.random.PRNGKey(seed),
-        n_hypotheses=n_hypotheses)
-    if int(n_inl) < 8:
+        n_hypotheses=n_hypotheses, solver=solver)
+    if int(n_inl) < min_n:
         return None
     R, t = recover_pose_from_essential(E, jnp.asarray(p0), jnp.asarray(p1),
                                        inliers)
@@ -177,7 +201,7 @@ def estimate_pose_jax(p0n: np.ndarray, p1n: np.ndarray, thresh: float,
 def estimate_pose_batch_from_matches(
     positions0: np.ndarray, positions1: np.ndarray, matches0: np.ndarray,
     K0: np.ndarray, K1: np.ndarray, thresh: float, ordering: str = "yx",
-    n_hypotheses: int = 1024, seed: int = 0,
+    n_hypotheses: int = None, seed: int = 0, solver: str = "5pt",
 ):
     """One device call for a whole eval batch of fixed-K match outputs.
 
@@ -193,6 +217,9 @@ def estimate_pose_batch_from_matches(
     Returns a list of B entries: (R, t, inlier_mask over matched slots) or
     None (too few matches/inliers, matching `estimate_pose`'s contract).
     """
+    if n_hypotheses is None:
+        n_hypotheses = 128 if solver == "5pt" else 1024
+    min_n = 5 if solver == "5pt" else 8
     B, K = matches0.shape
     sel = matches0 > -1                                    # (B, K)
     idx = np.clip(matches0, 0, K - 1)
@@ -216,7 +243,7 @@ def estimate_pose_batch_from_matches(
     R, t, inl, n_inl = estimate_pose_batch(
         jnp.asarray(p0n), jnp.asarray(p1n), jnp.asarray(sel),
         jnp.asarray(thr), jax.random.PRNGKey(seed),
-        n_hypotheses=n_hypotheses)
+        n_hypotheses=n_hypotheses, solver=solver)
     R = np.asarray(R, np.float64)
     t = np.asarray(t, np.float64)
     inl = np.asarray(inl)
@@ -224,17 +251,17 @@ def estimate_pose_batch_from_matches(
     n_matches = sel.sum(-1)
     out = []
     for b in range(B):
-        if n_matches[b] < 8 or n_inl[b] < 8:
+        if n_matches[b] < min_n or n_inl[b] < min_n:
             out.append(None)
         else:
             out.append((R[b], t[b], inl[b][sel[b]]))
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses",))
+@functools.partial(jax.jit, static_argnames=("n_hypotheses", "solver"))
 def estimate_pose_batch(p0: jax.Array, p1: jax.Array, mask: jax.Array,
                         thresh: jax.Array, key: jax.Array,
-                        n_hypotheses: int = 512):
+                        n_hypotheses: int = 512, solver: str = "8pt"):
     """Fully batched pose estimation for B pairs at once.
 
     p0/p1: (B, N, 2) normalized coords; mask: (B, N); thresh: (B,).
@@ -245,7 +272,8 @@ def estimate_pose_batch(p0: jax.Array, p1: jax.Array, mask: jax.Array,
 
     def one(p0_i, p1_i, m_i, th_i, k_i):
         E, inl, n = estimate_essential_ransac(
-            p0_i, p1_i, m_i, th_i, k_i, n_hypotheses=n_hypotheses)
+            p0_i, p1_i, m_i, th_i, k_i, n_hypotheses=n_hypotheses,
+            solver=solver)
         R, t = recover_pose_from_essential(E, p0_i, p1_i, inl)
         return R, t, inl, n
 

@@ -104,13 +104,14 @@ def val_extractor(state, model, loader, rep_kind: str, bins: int,
 
 def rpe_eval(state, model, loader, rep_kind: str, bins: int, height: int,
              width: int, pose_thresh=(5, 10, 20), ransac_thresh: float = 1.0,
-             backend: str = "opencv",
+             backend: str = "opencv", solver: str = "5pt",
              max_batches: Optional[int] = None) -> Dict[str, float]:
-    """Time-separated RPE benchmark (the headline metric)."""
+    """Time-separated RPE benchmark (the headline metric). `solver` picks
+    the jax backend's minimal solver: 8pt or 5pt (cv2 protocol family)."""
     step = make_eval_step(model, rep_kind, bins, height, width)
     rpe = RelativePoseEstimation("RPE", list(pose_thresh),
                                  ransac_thresh=ransac_thresh, ordering="yx",
-                                 backend=backend)
+                                 backend=backend, solver=solver)
     acc: Dict[str, List[float]] = {}
     n_pairs = 0
     for bi, batch in enumerate(loader):

@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--ckpt", default=None)
     p.add_argument("--backend", default="opencv",
                    choices=["opencv", "jax"])
+    p.add_argument("--solver", default="5pt",
+                   choices=["8pt", "5pt"],
+                   help="jax-backend minimal solver (5pt = cv2 family)")
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
@@ -66,7 +69,7 @@ def main(argv=None):
         state, _ = restore_checkpoint(args.ckpt, state, params_only=True)
 
     metrics = rpe_eval(state, model, loader, rep, bins, H, W,
-                       pose_thresh=(5, 10, 20), backend=args.backend,
+                       pose_thresh=(5, 10, 20), backend=args.backend, solver=args.solver,
                        max_batches=args.max_batches)
     print(json.dumps(metrics, indent=2, sort_keys=True))
     return metrics

@@ -261,10 +261,11 @@ class TestRPEBatchDevice:
         positions0[0, :50, :2] = x0[:, ::-1]
         positions1[0, :50, :2] = x1[:, ::-1]
         matches0[0, :50] = np.arange(50)
-        # pair 1: only 5 matches (< 8) -> None -> inf errors
-        positions0[1, :5, :2] = x0[:5, ::-1]
-        positions1[1, :5, :2] = x1[:5, ::-1]
-        matches0[1, :5] = np.arange(5)
+        # pair 1: only 4 matches (< the 5pt minimal set, like cv2's
+        # 5-point gate) -> None -> inf errors
+        positions0[1, :4, :2] = x0[:4, ::-1]
+        positions1[1, :4, :2] = x1[:4, ::-1]
+        matches0[1, :4] = np.arange(4)
         m = RelativePoseEstimation("rpe", [5], ordering="yx", backend="jax")
         outs = m.update_batch_device(positions0, positions1, matches0,
                                      np.stack([Km, Km]), np.stack([Km, Km]),

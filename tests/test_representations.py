@@ -258,26 +258,9 @@ class TestBurstyStreams:
     (VERDICT r1 item 7)."""
 
     @staticmethod
-    def bursty_events(rng, n, H, W, n_bursts=12, hot_frac=0.3, tie_frac=0.1):
-        # temporal bursts: timestamps clustered around burst centers
-        centers = np.sort(rng.uniform(0.02, 0.38, n_bursts))
-        which = rng.integers(0, n_bursts, n)
-        t = centers[which] + rng.normal(0, 0.004, n)
-        t = np.clip(t, 0, 0.4)
-        # ties: duplicate a fraction of timestamps exactly
-        n_tie = int(n * tie_frac)
-        t[:n_tie] = t[rng.integers(0, n, n_tie)]
-        t = np.sort(t).astype(np.float32)
-        # spatial: hot pixels get a big share of all events
-        hot = rng.integers(0, [H - 1, W - 1], (8, 2))
-        is_hot = rng.uniform(size=n) < hot_frac
-        hi = rng.integers(0, len(hot), n)
-        x = np.where(is_hot, hot[hi, 1] + rng.uniform(0, 1, n),
-                     rng.uniform(0, W - 1, n)).astype(np.float32)
-        y = np.where(is_hot, hot[hi, 0] + rng.uniform(0, 1, n),
-                     rng.uniform(0, H - 1, n)).astype(np.float32)
-        p = rng.integers(0, 2, n).astype(np.float32)
-        return x, y, t, p
+    def bursty_events(rng, n, H, W, **kwargs):
+        from ei_nexus_tpu.data.synth import bursty_events
+        return bursty_events(rng, n, H, W, **kwargs)
 
     def test_splat_exact_on_dense_bursty_stream(self, rng):
         """High-rate bursty stream (realistic MVSEC flying rates): chunks
