@@ -93,8 +93,12 @@ def extract_keypoints(
     nms_map = jax.lax.stop_gradient(
         nms(jax.lax.stop_gradient(bordered), cfg.nms_radius,
             impl=cfg.nms_impl))
+    # after `nms(radius=r)` surviving scores are > r apart (Chebyshev), so
+    # top-k can exactly reduce to per-(r+1)-block maxima first (16x less
+    # sort volume — the dominant selection cost on TPU)
     positions, valid = select_topk_keypoints(
-        nms_map, cfg.detection_top_k, cfg.detection_threshold, cfg.ordering)
+        nms_map, cfg.detection_top_k, cfg.detection_threshold, cfg.ordering,
+        min_distance=cfg.nms_radius + 1)
 
     # sparse descriptors at padded-grid positions
     if cfg.sparse_desc_from == "lowres":

@@ -49,9 +49,12 @@ class LightGlueConfig:
     score_dtype: str = "float32"
     shard_heads: bool = False    # tensor-parallel: shard attention heads
                                  # over the mesh's "model" axis
-    attention_impl: str = "auto"  # "auto" | "xla" | "flash": jax's blocked
-                                  # TPU flash kernel (inference only; XLA
-                                  # for training/backprop and shard_heads)
+    attention_impl: str = "auto"  # "auto" | "xla" | "flash" (jax's blocked
+                                  # TPU kernel) | "pallas" (this repo's
+                                  # fused per-(batch,head) VMEM kernels,
+                                  # ops/pallas_attention.py). flash/pallas
+                                  # are inference-only; XLA is used for
+                                  # training/backprop and shard_heads
     scan_layers: bool = False    # lax.scan over the 9 identical layers:
                                  # one compiled layer body instead of nine
                                  # (param tree gains a leading layer axis;
@@ -141,10 +144,22 @@ def _flash_attention(q, k, v, kv_mask, sm_scale: float) -> jax.Array:
                            sm_scale=sm_scale)
 
 
+def _pallas_supported(n: int, d: int) -> bool:
+    """ops/pallas_attention keeps one (N, M) f32 tile per (batch, head) in
+    VMEM: fine for the production 1024-token problems, skipped for tiny
+    test shapes (tiling rules) and non-TPU backends."""
+    import jax as _jax
+    return (n % 128 == 0 and d % 64 == 0
+            and _jax.default_backend() == "tpu")
+
+
 def _attention(q, k, v, kv_mask: Optional[jax.Array],
                shard_heads: bool = False,
                impl: str = "xla",
                score_dtype=jnp.float32) -> jax.Array:
+    if impl == "pallas" and _pallas_supported(q.shape[2], q.shape[3]):
+        from ..ops.pallas_attention import self_attention
+        return self_attention(q, k, v, kv_mask).astype(q.dtype)
     if impl == "flash" and _flash_supported(q.shape[2], q.shape[3]):
         return _flash_attention(q, k, v, kv_mask,
                                 sm_scale=q.shape[-1] ** -0.5).astype(q.dtype)
@@ -237,7 +252,15 @@ class CrossBlock(nn.Module):
         v0 = _maybe_shard_heads(split(to_v(x0), N), self.shard_heads)
         v1 = _maybe_shard_heads(split(to_v(x1), M), self.shard_heads)
 
-        if self.attn_impl == "flash" and _flash_supported(N, hd) \
+        if self.attn_impl == "pallas" and _pallas_supported(N, hd) \
+                and M % 128 == 0:
+            # fused bidirectional kernel: similarity + both softmaxes + both
+            # PV products stay in VMEM per (batch, head)
+            from ..ops.pallas_attention import cross_attention_bidir
+            m0, m1 = cross_attention_bidir(qk0, qk1, v0, v1, mask0, mask1)
+            m0 = m0.astype(v1.dtype)
+            m1 = m1.astype(v0.dtype)
+        elif self.attn_impl == "flash" and _flash_supported(N, hd) \
                 and M % 128 == 0:
             # two flash passes (qk pre-scaled on both sides -> sm_scale 1);
             # loses the shared-similarity trick but never touches HBM with

@@ -157,12 +157,13 @@ def _blocked_top_k(flat: jax.Array, k: int, target_block: int = 16384):
     return mv, jnp.take_along_axis(bi, mi, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "ordering"))
+@functools.partial(jax.jit, static_argnames=("k", "ordering", "min_distance"))
 def select_topk_keypoints(
     nms_score: jax.Array,
     k: int,
     prob_thresh: float = 1.0,
     ordering: str = "yx",
+    min_distance: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fixed-K keypoint extraction from an NMS'd (B, H, W) score map.
 
@@ -172,16 +173,45 @@ def select_topk_keypoints(
     survives the reference's threshold rule
     `prob > min(prob_thresh, topk_quantile_midpoint)`
     (detector_util.py:108-133, torch.quantile(..., 'midpoint')).
+
+    `min_distance`: the caller's guarantee that surviving (nonzero) scores
+    are at least this far apart in Chebyshev distance (= the NMS radius + 1
+    after `nms`). When > 1, the map is first reduced to per-block maxima
+    over `min_distance`-sized blocks — every survivor lands in a distinct
+    block, so the reduction is exact and top-k sorts ~min_distance^2 fewer
+    candidates (the dominant select cost at 93k px: 2.4 -> ~0.6 ms, B=8
+    v5e). Degenerate exception: equal-score survivors closer than the NMS
+    radius (float ties survive `fast_nms` by construction) may share a
+    block and lose all but one tie — measure-zero on real score maps.
     """
     assert ordering in ("yx", "xy")
     B, H, W = nms_score.shape
     flat = nms_score.reshape(B, H * W)
+    b = int(min_distance)
+    G = (-(-H // b) * -(-W // b)) if b > 1 else 0
     if k >= H * W:
         vals, idx = jax.lax.top_k(flat, H * W)
         thresh = jnp.zeros((B, 1), nms_score.dtype)
         pad = k - H * W
         vals = jnp.pad(vals, ((0, 0), (0, pad)))
         idx = jnp.pad(idx, ((0, 0), (0, pad)))
+    elif b > 1 and G > k:
+        # block-max candidate reduction (exact: one survivor per block)
+        Hp, Wp = -(-H // b) * b, -(-W // b) * b
+        x = jnp.pad(nms_score, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        gy, gx = Hp // b, Wp // b
+        blk = x.reshape(B, gy, b, gx, b).transpose(0, 1, 3, 2, 4)
+        blk = blk.reshape(B, gy * gx, b * b)
+        bval = jnp.max(blk, axis=-1)                  # (B, G)
+        bloc = jnp.argmax(blk, axis=-1)               # in-block flat index
+        vals_p1, gidx = jax.lax.top_k(bval, k + 1)    # (B, k+1) block ids
+        loc = jnp.take_along_axis(bloc, gidx, axis=1)
+        by, bx = gidx // gx, gidx % gx
+        iy = by * b + loc // b
+        ix = bx * b + loc % b
+        idx_p1 = iy * W + ix                          # original flat index
+        vals, idx = vals_p1[:, :k], idx_p1[:, :k]
+        thresh = (vals_p1[:, k - 1:k] + vals_p1[:, k:k + 1]) / 2.0
     else:
         # measured on v5e: plain lax.top_k (2.4 ms, B=8, 93k px) beats the
         # blocked variant (3.1 ms) — XLA's top-k is already partial-sort

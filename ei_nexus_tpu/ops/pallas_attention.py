@@ -1,0 +1,158 @@
+"""Pallas TPU kernels: fused attention for LightGlue's 1024-token problems.
+
+The XLA attention materializes the (B, h, N, M) similarity matrix in HBM
+several times per layer (QK^T out, softmax in/out, PV in) — the dominant
+LightGlue cost on TPU at N=M=1024 (CrossBlock alone moves ~0.7 GB/layer).
+At this sequence length one (batch, head) problem fits VMEM outright
+(1024^2 f32 similarity = 4 MB), so no online-softmax streaming is needed:
+one grid step per (batch, head) computes QK^T, the f32 softmax and the PV
+matmul entirely on-chip. HBM traffic drops to the q/k/v inputs + outputs
+(~0.5 MB per head-problem).
+
+A first-round variant of these kernels hung Mosaic for 18+ minutes per
+compile. The cause was its column-direction path: `softmax(axis=0)` (a
+sublane-major reduction over the full tile) followed by a dim-0-contracted
+dot — both force whole-tile relayouts/transposes of the 4 MB similarity.
+This version keeps EVERY reduction and contraction row-major:
+
+ - `self_attention(q, k, v, mask)`: row-softmax attention, one direction;
+ - `cross_attention_bidir(qk0, qk1, v0, v1, ...)`: LightGlue's shared-QK
+   bidirectional cross attention. The reverse direction re-computes the
+   transposed similarity with a second (M, d) @ (d, N) matmul on the SMALL
+   bf16 operands (134 MFLOP — ~1% of the traffic it saves) instead of
+   transposing or column-reducing the f32 tile.
+
+Masks are key-side (B, N) booleans, passed to the kernels as additive f32
+bias rows (0 / -1e9), the same convention as the XLA path
+(models/lightglue.py `_attention_xla`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIAS = -1e9
+
+
+def _row_softmax(s):
+    """Row (lane-axis) softmax of an f32 tile — the fast TPU direction."""
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _self_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
+    q = q_ref[0, 0]                       # (N, d)
+    k = k_ref[0, 0]                       # (N, d)
+    v = v_ref[0, 0]                       # (N, d)
+    bias = b_ref[0, 0]                    # (N,) key-side additive bias
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = _row_softmax(s + bias[None, :]).astype(v.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                   kv_mask: Optional[jax.Array] = None,
+                   interpret: bool = False) -> jax.Array:
+    """(B, h, N, d) fused attention; kv_mask (B, N) masks keys."""
+    B, h, N, d = q.shape
+    bias = (jnp.zeros((B, N), jnp.float32) if kv_mask is None
+            else jnp.where(kv_mask, 0.0, _BIAS).astype(jnp.float32))
+    # (B, 1, N) so the block's trailing two dims equal the array's (TPU
+    # block-shape rule: divisible by (8, 128) or exactly the array dims)
+    bias = bias[:, None, :]
+    spec = pl.BlockSpec((1, 1, N, d), lambda b, i: (b, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_self_kernel, scale=d ** -0.5),
+        grid=(B, h),
+        in_specs=[spec, spec, spec, bspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def _cross_kernel(qk0_ref, qk1_ref, v0_ref, v1_ref, b0_ref, b1_ref,
+                  o0_ref, o1_ref):
+    a = qk0_ref[0, 0]                     # (N, d), pre-scaled
+    b = qk1_ref[0, 0]                     # (M, d), pre-scaled
+    v0 = v0_ref[0, 0]
+    v1 = v1_ref[0, 0]
+    bias0 = b0_ref[0, 0]                  # (N,)
+    bias1 = b1_ref[0, 0]                  # (M,)
+    # direction 0 -> 1: rows are side-0 queries
+    s01 = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    p01 = _row_softmax(s01 + bias1[None, :]).astype(v1.dtype)
+    o0_ref[0, 0] = jax.lax.dot_general(
+        p01, v1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o0_ref.dtype)
+    # direction 1 -> 0: recompute the transposed similarity from the small
+    # bf16 operands (b @ a^T) so the softmax stays row-major — never
+    # transpose or column-reduce the f32 tile (Mosaic compile hazard)
+    s10 = jax.lax.dot_general(b, a, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    p10 = _row_softmax(s10 + bias0[None, :]).astype(v0.dtype)
+    o1_ref[0, 0] = jax.lax.dot_general(
+        p10, v0, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o1_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cross_attention_bidir(
+    qk0: jax.Array, qk1: jax.Array, v0: jax.Array, v1: jax.Array,
+    mask0: Optional[jax.Array] = None, mask1: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Shared-QK bidirectional cross attention (LightGlue CrossBlock).
+
+    qk0 (B, h, N, d) / qk1 (B, h, M, d) are the shared query/key
+    projections, PRE-SCALED by scale**0.5 on both sides (sm scale 1 inside,
+    matching the XLA path); v0/v1 the value projections. Returns
+    (message0 (B, h, N, d), message1 (B, h, M, d)).
+
+    Matches `_attention_xla`'s cross usage: both directions softmax the
+    same similarity (masked by the joint validity), one over keys of side
+    1, one over keys of side 0.
+    """
+    B, h, N, d = qk0.shape
+    M = qk1.shape[2]
+    bias0 = (jnp.zeros((B, N), jnp.float32) if mask0 is None
+             else jnp.where(mask0, 0.0, _BIAS).astype(jnp.float32))[:, None]
+    bias1 = (jnp.zeros((B, M), jnp.float32) if mask1 is None
+             else jnp.where(mask1, 0.0, _BIAS).astype(jnp.float32))[:, None]
+
+    def spec(n):
+        return pl.BlockSpec((1, 1, n, d), lambda b, i: (b, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bspec(n):
+        return pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _cross_kernel,
+        grid=(B, h),
+        in_specs=[spec(N), spec(M), spec(N), spec(M), bspec(N), bspec(M)],
+        out_specs=(spec(N), spec(M)),
+        out_shape=(jax.ShapeDtypeStruct(qk0.shape, qk0.dtype),
+                   jax.ShapeDtypeStruct(qk1.shape, qk1.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(qk0, qk1, v0, v1, bias0, bias1)

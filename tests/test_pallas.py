@@ -69,3 +69,60 @@ class TestPallasSplat:
         assert float(jnp.abs(g).sum()) == 0.0
 
 
+
+
+class TestPallasAttention:
+    """ops/pallas_attention fused kernels vs the XLA attention math
+    (models/lightglue.py). Interpreter mode; f32 exactness expected since
+    both paths do the same f32 softmax."""
+
+    def test_self_attention_matches_xla(self, rng):
+        from ei_nexus_tpu.ops.pallas_attention import self_attention
+        from ei_nexus_tpu.models.lightglue import _attention_xla
+        B, h, N, d = 2, 3, 128, 64
+        q, k, v = (jnp.asarray(rng.normal(size=(B, h, N, d)).astype(
+            np.float32)) for _ in range(3))
+        mask = jnp.asarray(rng.uniform(size=(B, N)) > 0.2)
+        want = _attention_xla(q, k, v, mask)
+        got = self_attention(q, k, v, mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_self_attention_no_mask(self, rng):
+        from ei_nexus_tpu.ops.pallas_attention import self_attention
+        from ei_nexus_tpu.models.lightglue import _attention_xla
+        B, h, N, d = 1, 2, 128, 64
+        q, k, v = (jnp.asarray(rng.normal(size=(B, h, N, d)).astype(
+            np.float32)) for _ in range(3))
+        want = _attention_xla(q, k, v, None)
+        got = self_attention(q, k, v, None, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_cross_bidir_matches_xla(self, rng):
+        """Both directions against the CrossBlock einsum math; only valid
+        query rows compared (invalid rows carry differently-masked
+        garbage in both implementations and are masked downstream)."""
+        from ei_nexus_tpu.ops.pallas_attention import cross_attention_bidir
+        B, h, N, M, d = 2, 2, 128, 256, 64
+        qk0 = jnp.asarray(rng.normal(size=(B, h, N, d)).astype(np.float32))
+        qk1 = jnp.asarray(rng.normal(size=(B, h, M, d)).astype(np.float32))
+        v0 = jnp.asarray(rng.normal(size=(B, h, N, d)).astype(np.float32))
+        v1 = jnp.asarray(rng.normal(size=(B, h, M, d)).astype(np.float32))
+        m0 = jnp.asarray(rng.uniform(size=(B, N)) > 0.2)
+        m1 = jnp.asarray(rng.uniform(size=(B, M)) > 0.2)
+
+        sim = jnp.einsum("bhid,bhjd->bhij", qk0, qk1)
+        joint = m0[:, None, :, None] & m1[:, None, None, :]
+        sim_m = jnp.where(joint, sim, -1e9)
+        w0 = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(sim_m, -1), v1)
+        w1 = jnp.einsum("bhij,bhid->bhjd", jax.nn.softmax(sim_m, -2), v0)
+
+        g0, g1 = cross_attention_bidir(qk0, qk1, v0, v1, m0, m1,
+                                       interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(jnp.where(m0[:, None, :, None], g0, 0)),
+            np.asarray(jnp.where(m0[:, None, :, None], w0, 0)), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(jnp.where(m1[:, None, :, None], g1, 0)),
+            np.asarray(jnp.where(m1[:, None, :, None], w1, 0)), atol=1e-5)
