@@ -13,9 +13,10 @@ TPU-first re-design:
  - during training every layer's log-assignment and confidence logits are
    produced inside the jitted forward (flax parameters are declared
    unconditionally), so the loss is pure array math — no module re-entry;
- - attention is einsum+softmax, which XLA fuses onto the MXU (1024-token
-   attention fits VMEM; a Pallas flash-attention drop-in is unnecessary at
-   this sequence length).
+ - inference attention runs this repo's fused Pallas kernels
+   (ops/pallas_attention.py): a 1024-token (batch, head) problem fits VMEM
+   whole, so similarity + softmax(es) + PV never touch HBM; training
+   falls back to XLA einsum+softmax (fused kernels are forward-only).
 """
 
 from __future__ import annotations
@@ -421,14 +422,15 @@ class LightGlue(nn.Module):
 
         impl = cfg.attention_impl
         if impl == "auto":
-            # XLA everywhere: with bf16 score materialization
-            # (score_dtype) the 1024-token attention is compute-bound at
-            # head_dim 64, and measured per-call times tie jax's blocked
-            # flash kernel (0.737 vs 0.750 ms at B=8), while flash costs a
-            # second cross pass (no shared similarity) - full-pipeline
-            # bench: XLA 277 pairs/s vs flash 145. "flash" stays available
-            # for larger head dims / token counts.
-            impl = "xla"
+            # inference: this repo's fused per-(batch,head) VMEM kernels
+            # (ops/pallas_attention.py) — full-pipeline measured 28.4 vs
+            # 29.1 ms/batch over XLA at B=8/N=1024 (score HBM traffic gone;
+            # the rest is compute-bound). jax's builtin "flash" loses here
+            # (second cross pass, no shared similarity: 145 vs 277 pairs/s
+            # round-1) but stays available for token counts whose f32
+            # similarity tile no longer fits VMEM. Training/backprop uses
+            # XLA (fused kernels are forward-only), see attn_impl below.
+            impl = "pallas"
         attn_impl = impl if (not training and not cfg.shard_heads) else "xla"
 
         all_scores = []
