@@ -47,7 +47,11 @@ def main():
     import os
     B = int(os.environ.get("EI_NEXUS_BENCH_B", "8"))
     max_events = 1 << 17
-    N = 10  # chained iterations per timing run
+    # 30 chained iterations per scalar fetch: the tunnel's fixed
+    # dispatch+fetch overhead (~15 ms/run, measured: the same computation
+    # times 9.8 ms/iter at N=20 vs 11.4 at N=10) must be amortized or it
+    # inflates per-batch time by ~5-15%
+    N = int(os.environ.get("EI_NEXUS_BENCH_N", "30"))
 
     # realistic bursty/hot-pixel/tied-timestamp streams by default — the
     # regime that stresses chunked voxelization and NMS iteration counts;

@@ -24,7 +24,9 @@ sys.path.insert(0, ".")
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
-    p.add_argument("--iters", type=int, default=10)
+    # >= 30 chained iterations amortize the tunnel's fixed ~15 ms
+    # dispatch+fetch overhead (at 10 it inflates stages by ~1.5 ms each)
+    p.add_argument("--iters", type=int, default=30)
     args = p.parse_args(argv)
 
     import jax
