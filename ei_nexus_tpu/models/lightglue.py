@@ -216,7 +216,9 @@ class SelfBlock(nn.Module):
                            name="out_proj")(message)
         y = jnp.concatenate([x, message], axis=-1)
         y = nn.Dense(2 * self.embed_dim, dtype=self.dtype, name="ffn_0")(y)
-        y = nn.LayerNorm(name="ffn_norm")(y)  # f32 norm for stability
+        # IO in compute dtype; flax always reduces the norm stats in f32
+        # (normalization._compute_stats force_float32_reductions)
+        y = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.embed_dim, dtype=self.dtype, name="ffn_3")(y)
         return x + y.astype(x.dtype)
@@ -296,7 +298,7 @@ class CrossBlock(nn.Module):
         m1 = to_out(merge(m1, M))
 
         ffn_0 = nn.Dense(2 * self.embed_dim, dtype=self.dtype, name="ffn_0")
-        ffn_norm = nn.LayerNorm(name="ffn_norm")
+        ffn_norm = nn.LayerNorm(dtype=self.dtype, name="ffn_norm")
         ffn_3 = nn.Dense(self.embed_dim, dtype=self.dtype, name="ffn_3")
 
         def ffn(x, m):

@@ -47,17 +47,20 @@ def _row_softmax(s):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _self_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
-    q = q_ref[0, 0]                       # (N, d)
-    k = k_ref[0, 0]                       # (N, d)
-    v = v_ref[0, 0]                       # (N, d)
+def _self_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, heads):
     bias = b_ref[0, 0]                    # (N,) key-side additive bias
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    p = _row_softmax(s + bias[None, :]).astype(v.dtype)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # all heads of one batch item per grid step: fewer, fatter invocations
+    # pipeline far better than one (b, h) problem per step
+    for hh in range(heads):
+        q = q_ref[0, hh]                  # (N, d)
+        k = k_ref[0, hh]
+        v = v_ref[0, hh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = _row_softmax(s + bias[None, :]).astype(v.dtype)
+        o_ref[0, hh] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -71,46 +74,47 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     # (B, 1, N) so the block's trailing two dims equal the array's (TPU
     # block-shape rule: divisible by (8, 128) or exactly the array dims)
     bias = bias[:, None, :]
-    spec = pl.BlockSpec((1, 1, N, d), lambda b, i: (b, i, 0, 0),
+    spec = pl.BlockSpec((1, h, N, d), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, 1, N), lambda b, i: (b, 0, 0),
+    bspec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_self_kernel, scale=d ** -0.5),
-        grid=(B, h),
+        functools.partial(_self_kernel, scale=d ** -0.5, heads=h),
+        grid=(B,),
         in_specs=[spec, spec, spec, bspec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(q, k, v, bias)
 
 
 def _cross_kernel(qk0_ref, qk1_ref, v0_ref, v1_ref, b0_ref, b1_ref,
-                  o0_ref, o1_ref):
-    a = qk0_ref[0, 0]                     # (N, d), pre-scaled
-    b = qk1_ref[0, 0]                     # (M, d), pre-scaled
-    v0 = v0_ref[0, 0]
-    v1 = v1_ref[0, 0]
+                  o0_ref, o1_ref, *, heads):
     bias0 = b0_ref[0, 0]                  # (N,)
     bias1 = b1_ref[0, 0]                  # (M,)
-    # direction 0 -> 1: rows are side-0 queries
-    s01 = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    p01 = _row_softmax(s01 + bias1[None, :]).astype(v1.dtype)
-    o0_ref[0, 0] = jax.lax.dot_general(
-        p01, v1, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o0_ref.dtype)
-    # direction 1 -> 0: recompute the transposed similarity from the small
-    # bf16 operands (b @ a^T) so the softmax stays row-major — never
-    # transpose or column-reduce the f32 tile (Mosaic compile hazard)
-    s10 = jax.lax.dot_general(b, a, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    p10 = _row_softmax(s10 + bias0[None, :]).astype(v0.dtype)
-    o1_ref[0, 0] = jax.lax.dot_general(
-        p10, v0, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o1_ref.dtype)
+    for hh in range(heads):
+        a = qk0_ref[0, hh]                # (N, d), pre-scaled
+        b = qk1_ref[0, hh]                # (M, d), pre-scaled
+        v0 = v0_ref[0, hh]
+        v1 = v1_ref[0, hh]
+        # direction 0 -> 1: rows are side-0 queries
+        s01 = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        p01 = _row_softmax(s01 + bias1[None, :]).astype(v1.dtype)
+        o0_ref[0, hh] = jax.lax.dot_general(
+            p01, v1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o0_ref.dtype)
+        # direction 1 -> 0: recompute the transposed similarity from the
+        # small bf16 operands (b @ a^T) so the softmax stays row-major —
+        # never transpose or column-reduce the f32 tile (Mosaic hazard)
+        s10 = jax.lax.dot_general(b, a, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        p10 = _row_softmax(s10 + bias0[None, :]).astype(v0.dtype)
+        o1_ref[0, hh] = jax.lax.dot_general(
+            p10, v0, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o1_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -138,21 +142,21 @@ def cross_attention_bidir(
              else jnp.where(mask1, 0.0, _BIAS).astype(jnp.float32))[:, None]
 
     def spec(n):
-        return pl.BlockSpec((1, 1, n, d), lambda b, i: (b, i, 0, 0),
+        return pl.BlockSpec((1, h, n, d), lambda b: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def bspec(n):
-        return pl.BlockSpec((1, 1, n), lambda b, i: (b, 0, 0),
+        return pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        _cross_kernel,
-        grid=(B, h),
+        functools.partial(_cross_kernel, heads=h),
+        grid=(B,),
         in_specs=[spec(N), spec(M), spec(N), spec(M), bspec(N), bspec(M)],
         out_specs=(spec(N), spec(M)),
         out_shape=(jax.ShapeDtypeStruct(qk0.shape, qk0.dtype),
                    jax.ShapeDtypeStruct(qk1.shape, qk1.dtype)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(qk0, qk1, v0, v1, bias0, bias1)
