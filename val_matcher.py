@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Matcher validation entry point: GT matches from pose+depth -> LightGlue
-loss/metrics + RPE AUC on the val pair protocol.
+loss/metrics (deep-supervision NLL, match recall/precision/accuracy) +
+RPE AUC on the val pair protocol.
 
-Parity with reference `val_matcher.py:39-125`.
+Parity with reference `val_matcher.py:39-125`: per val pair the GT
+assignment is generated from pose+depth exactly as in training
+(train_matcher.py:181-190), the stage-2 loss is evaluated without a
+gradient, assignment-level metrics come from `matcher_metrics`
+(lightglue.py:17), and the RPE protocol runs on top.
 """
 
 from __future__ import annotations
@@ -56,8 +61,58 @@ def main(argv=None):
     if args.ckpt:
         state, _ = restore_checkpoint(args.ckpt, state, params_only=True)
 
-    metrics = rpe_eval(state, model, loader, rep, bins, H, W,
-                       max_batches=args.max_batches)
+    # --- GT-match loss + assignment metrics (reference val_matcher.py:70-
+    # 108): the stage-2 training loss evaluated without gradients. The
+    # forward runs in training mode (deep-supervision outputs + the same
+    # random-slot padding as training, fixed rng); BN batch-stat mutations
+    # are computed and discarded.
+    import jax.numpy as jnp
+    from ei_nexus_tpu.geometry import (Camera, Pose,
+                                       gt_matches_from_pose_depth)
+    from ei_nexus_tpu.losses.matcher_loss import lightglue_loss
+    from ei_nexus_tpu.metrics.matching import matcher_metrics
+
+    @jax.jit
+    def loss_step(state, batch):
+        data0, data1, T01, T10 = batch[:4]
+        ev_rep, ev_mask = batch_representation(data0, rep, bins, H, W)
+        K = data0["K"]
+        cam = Camera.from_calibration_matrix(
+            K, size=jnp.broadcast_to(jnp.asarray([W, H], jnp.float32),
+                                     K.shape[:-2] + (2,)))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        (ev_feats, im_feats, matches), _ = state.apply_fn(
+            variables, ev_rep, data1["image"], ev_mask, None, True,
+            mutable=["batch_stats"], rngs={"pad": jax.random.PRNGKey(0)})
+        kp0 = matches["input_feats0"]["sparse_positions"][..., :2]
+        kp1 = matches["input_feats1"]["sparse_positions"][..., :2]
+        gt = gt_matches_from_pose_depth(
+            kp0, kp1, cam, cam, data0["depth"], data1["depth"],
+            Pose.from_4x4mat(T01), Pose.from_4x4mat(T10), ordering="yx")
+        loss, info = lightglue_loss(matches, gt, training=True)
+        out = {"matcher_loss": loss, **info}
+        return ({k: jnp.mean(v) for k, v in out.items()},
+                matches["matches0"], gt["matches0"],
+                matches["matching_scores0"])
+
+    sums: dict = {}
+    n = 0
+    for bi, batch in enumerate(loader):
+        if args.max_batches is not None and bi >= args.max_batches:
+            break
+        if "depth" not in batch[0]:
+            break  # EC has no depth: loss/metrics are MVSEC-only
+        vals, m0, gt0, sc0 = loss_step(state, batch)
+        mm = matcher_metrics(m0, gt0, sc0)  # host-side numpy
+        for k, v in {**{k: float(v) for k, v in vals.items()},
+                     **{k: float(np.mean(v)) for k, v in mm.items()}}.items():
+            sums[k] = sums.get(k, 0.0) + v
+        n += 1
+    metrics = {k: v / max(n, 1) for k, v in sums.items()}
+
+    metrics.update(rpe_eval(state, model, loader, rep, bins, H, W,
+                            max_batches=args.max_batches))
     print(json.dumps(metrics, indent=2, sort_keys=True))
     return metrics
 
