@@ -30,6 +30,7 @@ bias rows (0 / -1e9), the same convention as the XLA path
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -38,6 +39,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIAS = -1e9
+# experimental: q-block size for the pipelined variant (0 = whole-problem
+# kernels). Smaller grid steps let Mosaic overlap DMA/MXU/VPU across steps;
+# k/v index maps are constant per (b, h) so they are fetched once.
+_QBLOCK = int(os.environ.get("EI_NEXUS_ATTN_QBLOCK", "0"))
+
+
+def _qblock_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
+    q = q_ref[0, 0]                       # (bq, d)
+    k = k_ref[0, 0]                       # (M, d)
+    v = v_ref[0, 0]                       # (M, d)
+    bias = b_ref[0, 0]                    # (M,)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = _row_softmax(s + bias[None, :]).astype(v.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _qblock_attention(q, k, v, bias, scale: float, block_q: int,
+                      interpret: bool = False):
+    """Generic row-softmax attention, q blocked over the grid: serves the
+    self case and either cross direction (pre-scaled inputs, scale=1)."""
+    B, h, N, d = q.shape
+    M = k.shape[2]
+    grid = (B, h, N // block_q)
+    return pl.pallas_call(
+        functools.partial(_qblock_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, i, n: (b, i, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M, d), lambda b, i, n: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M, d), lambda b, i, n: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M), lambda b, i, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b, i, n: (b, i, n, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(q, k, v, bias)
 
 
 def _row_softmax(s):
@@ -74,6 +122,9 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     # (B, 1, N) so the block's trailing two dims equal the array's (TPU
     # block-shape rule: divisible by (8, 128) or exactly the array dims)
     bias = bias[:, None, :]
+    if _QBLOCK and N % _QBLOCK == 0:
+        return _qblock_attention(q, k, v, bias, d ** -0.5, _QBLOCK,
+                                 interpret)
     spec = pl.BlockSpec((1, h, N, d), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
@@ -140,6 +191,13 @@ def cross_attention_bidir(
              else jnp.where(mask0, 0.0, _BIAS).astype(jnp.float32))[:, None]
     bias1 = (jnp.zeros((B, M), jnp.float32) if mask1 is None
              else jnp.where(mask1, 0.0, _BIAS).astype(jnp.float32))[:, None]
+    if _QBLOCK and N % _QBLOCK == 0 and M % _QBLOCK == 0:
+        # both directions through the same generic q-blocked kernel
+        # (inputs pre-scaled -> scale 1); the similarity is recomputed for
+        # the reverse direction, which the whole-problem kernel does too
+        return (
+            _qblock_attention(qk0, qk1, v1, bias1, 1.0, _QBLOCK, interpret),
+            _qblock_attention(qk1, qk0, v0, bias0, 1.0, _QBLOCK, interpret))
 
     def spec(n):
         return pl.BlockSpec((1, h, n, d), lambda b: (b, 0, 0, 0),

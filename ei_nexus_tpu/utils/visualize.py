@@ -37,6 +37,7 @@ def depth_to_color(depth: np.ndarray,
         return np.zeros(d.shape + (3,), np.uint8)
     lo, hi = np.percentile(vals, 2), np.percentile(vals, 98)
     norm = np.clip((d - lo) / max(hi - lo, 1e-9), 0, 1)
+    norm = np.nan_to_num(norm)  # NaN depths (invalid) -> 0 before the cast
     u8 = (norm * 255).astype(np.uint8)
     color = cv2.applyColorMap(u8, cv2.COLORMAP_JET)
     color[~valid] = 0

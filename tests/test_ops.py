@@ -328,3 +328,56 @@ class TestCoordinateMappings:
         from ei_nexus_tpu.ops.coords import vgg_cell8_mapping
         m = vgg_cell8_mapping()
         assert m.to_feature(m.to_image(5.0)) == 5.0
+
+
+class TestBlockedTopK:
+    """select_topk_keypoints min_distance block-max fast path vs the plain
+    top-k, on NMS-spaced score maps (the production call pattern)."""
+
+    def _nms_spaced_map(self, rng, B, H, W, r):
+        import jax.numpy as jnp
+        from ei_nexus_tpu.ops.detector import nms
+        score = jnp.asarray(rng.uniform(size=(B, H, W)).astype(np.float32))
+        return nms(score, r, impl="xla")
+
+    def test_matches_plain_topk(self, rng):
+        import jax.numpy as jnp
+        from ei_nexus_tpu.ops.detector import select_topk_keypoints
+        B, H, W, r, k = 3, 61, 83, 4, 64  # non-divisible dims -> padding
+        m = self._nms_spaced_map(rng, B, H, W, r)
+        pos_b, val_b = select_topk_keypoints(m, k, 1.0, "yx",
+                                             min_distance=r + 1)
+        pos_p, val_p = select_topk_keypoints(m, k, 1.0, "yx")
+        np.testing.assert_array_equal(np.asarray(val_b), np.asarray(val_p))
+        # valid slots identical (invalid slots may order zeros differently)
+        vb = np.asarray(jnp.where(val_b[..., None], pos_b, 0))
+        vp = np.asarray(jnp.where(val_p[..., None], pos_p, 0))
+        np.testing.assert_allclose(vb, vp)
+
+    def test_padded_blocks_never_validate(self, rng):
+        """Block padding can surface out-of-image candidate indices in
+        INVALID slots only; every valid slot must index a real pixel."""
+        import jax.numpy as jnp
+        from ei_nexus_tpu.ops.detector import select_topk_keypoints
+        B, H, W, r, k = 2, 30, 34, 4, 128  # k near the survivor count
+        m = self._nms_spaced_map(rng, B, H, W, r)
+        pos, val = select_topk_keypoints(m, k, 1.0, "yx",
+                                         min_distance=r + 1)
+        pos = np.asarray(pos)
+        val = np.asarray(val)
+        assert (pos[val][:, 0] < H).all() and (pos[val][:, 1] < W).all()
+        assert (pos[val][:, 2] > 0).all()
+
+    def test_sparse_map_fewer_than_k(self):
+        """Fewer nonzero scores than k: the extras are invalid."""
+        import jax.numpy as jnp
+        from ei_nexus_tpu.ops.detector import select_topk_keypoints
+        m = np.zeros((1, 40, 40), np.float32)
+        m[0, 5, 7] = 0.9
+        m[0, 20, 30] = 0.8
+        pos, val = select_topk_keypoints(jnp.asarray(m), 16, 1.0, "yx",
+                                         min_distance=5)
+        assert int(val.sum()) == 2
+        got = {(float(y), float(x)) for y, x, _ in np.asarray(pos)[0][
+            np.asarray(val)[0]]}
+        assert got == {(5.5, 7.5), (20.5, 30.5)}
