@@ -145,12 +145,16 @@ def _flash_attention(q, k, v, kv_mask, sm_scale: float) -> jax.Array:
                            sm_scale=sm_scale)
 
 
-def _pallas_supported(n: int, d: int) -> bool:
-    """ops/pallas_attention keeps one (N, M) f32 tile per (batch, head) in
-    VMEM: fine for the production 1024-token problems, skipped for tiny
-    test shapes (tiling rules) and non-TPU backends."""
+def _pallas_supported(n: int, d: int, m: Optional[int] = None) -> bool:
+    """ops/pallas_attention keeps one (N, M) f32 similarity tile per
+    (batch, head) in VMEM: fine for the production 1024-token problems,
+    skipped for tiny test shapes (tiling rules), for token counts whose
+    tile no longer fits comfortably in VMEM (> 1024^2 f32 = 4 MB per head
+    — fall back to XLA, or opt into "flash" there), and for non-TPU
+    backends."""
     import jax as _jax
     return (n % 128 == 0 and d % 64 == 0
+            and n * (m if m is not None else n) <= 1024 * 1024
             and _jax.default_backend() == "tpu")
 
 
@@ -255,7 +259,7 @@ class CrossBlock(nn.Module):
         v0 = _maybe_shard_heads(split(to_v(x0), N), self.shard_heads)
         v1 = _maybe_shard_heads(split(to_v(x1), M), self.shard_heads)
 
-        if self.attn_impl == "pallas" and _pallas_supported(N, hd) \
+        if self.attn_impl == "pallas" and _pallas_supported(N, hd, M) \
                 and M % 128 == 0:
             # fused bidirectional kernel: similarity + both softmaxes + both
             # PV products stay in VMEM per (batch, head)

@@ -174,15 +174,21 @@ def select_topk_keypoints(
     `prob > min(prob_thresh, topk_quantile_midpoint)`
     (detector_util.py:108-133, torch.quantile(..., 'midpoint')).
 
-    `min_distance`: the caller's guarantee that surviving (nonzero) scores
-    are at least this far apart in Chebyshev distance (= the NMS radius + 1
-    after `nms`). When > 1, the map is first reduced to per-block maxima
-    over `min_distance`-sized blocks — every survivor lands in a distinct
-    block, so the reduction is exact and top-k sorts ~min_distance^2 fewer
-    candidates (the dominant select cost at 93k px: 2.4 -> ~0.6 ms, B=8
-    v5e). Degenerate exception: equal-score survivors closer than the NMS
-    radius (float ties survive `fast_nms` by construction) may share a
-    block and lose all but one tie — measure-zero on real score maps.
+    `min_distance`: the caller's expectation that surviving (nonzero)
+    scores are at least this far apart in Chebyshev distance (= the NMS
+    radius + 1 after a CONVERGED `nms` — at convergence every survivor is
+    a local max of the suppressed map, so two non-tied survivors cannot be
+    within the radius). When > 1, the map is first reduced to the per-block
+    TOP-2 over `min_distance`-sized blocks before top-k, cutting the sort
+    volume ~min_distance^2/2 (the dominant select cost at 93k px: 2.4 ->
+    ~0.6 ms, B=8 v5e). Keeping two candidates per block makes the
+    reduction exact even when the premise is violated once per block —
+    iteration-capped NMS (`nms` max_iter, pallas_nms fixed rounds) can
+    leave one not-yet-suppressed chain survivor next to a maximum, and
+    equal-score ties survive `fast_nms` by construction. It is inexact
+    only when >= 3 mutually-unsuppressed pixels share one block (a >=
+    max_iter-deep strictly-descending suppression chain inside one block
+    — adversarial inputs only; pass min_distance=0 for the plain path).
     """
     assert ordering in ("yx", "xy")
     B, H, W = nms_score.shape
@@ -196,16 +202,18 @@ def select_topk_keypoints(
         vals = jnp.pad(vals, ((0, 0), (0, pad)))
         idx = jnp.pad(idx, ((0, 0), (0, pad)))
     elif b > 1 and G > k:
-        # block-max candidate reduction (exact: one survivor per block)
+        # per-block top-2 candidate reduction (see docstring)
         Hp, Wp = -(-H // b) * b, -(-W // b) * b
         x = jnp.pad(nms_score, ((0, 0), (0, Hp - H), (0, Wp - W)))
         gy, gx = Hp // b, Wp // b
         blk = x.reshape(B, gy, b, gx, b).transpose(0, 1, 3, 2, 4)
         blk = blk.reshape(B, gy * gx, b * b)
-        bval = jnp.max(blk, axis=-1)                  # (B, G)
-        bloc = jnp.argmax(blk, axis=-1)               # in-block flat index
-        vals_p1, gidx = jax.lax.top_k(bval, k + 1)    # (B, k+1) block ids
-        loc = jnp.take_along_axis(bloc, gidx, axis=1)
+        bv2, bl2 = jax.lax.top_k(blk, 2)              # (B, G, 2)
+        bval = bv2.reshape(B, 2 * G)
+        bloc = bl2.reshape(B, 2 * G)                  # in-block flat index
+        vals_p1, ci = jax.lax.top_k(bval, k + 1)      # (B, k+1) candidates
+        loc = jnp.take_along_axis(bloc, ci, axis=1)
+        gidx = ci // 2                                # candidate -> block id
         by, bx = gidx // gx, gidx % gx
         iy = by * b + loc // b
         ix = bx * b + loc % b

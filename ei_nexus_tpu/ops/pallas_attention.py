@@ -111,19 +111,26 @@ def _self_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, heads):
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_q"))
 def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    kv_mask: Optional[jax.Array] = None,
-                   interpret: bool = False) -> jax.Array:
-    """(B, h, N, d) fused attention; kv_mask (B, N) masks keys."""
+                   interpret: bool = False,
+                   block_q: Optional[int] = None) -> jax.Array:
+    """(B, h, N, d) fused attention; kv_mask (B, N) masks keys.
+
+    block_q: 0 = whole-problem kernel, > 0 = q-blocked pipelined grid,
+    None = the EI_NEXUS_ATTN_QBLOCK env default. A static jit arg so the
+    two variants never share a trace."""
+    if block_q is None:
+        block_q = _QBLOCK
     B, h, N, d = q.shape
     bias = (jnp.zeros((B, N), jnp.float32) if kv_mask is None
             else jnp.where(kv_mask, 0.0, _BIAS).astype(jnp.float32))
     # (B, 1, N) so the block's trailing two dims equal the array's (TPU
     # block-shape rule: divisible by (8, 128) or exactly the array dims)
     bias = bias[:, None, :]
-    if _QBLOCK and N % _QBLOCK == 0:
-        return _qblock_attention(q, k, v, bias, d ** -0.5, _QBLOCK,
+    if block_q and N % block_q == 0:
+        return _qblock_attention(q, k, v, bias, d ** -0.5, block_q,
                                  interpret)
     spec = pl.BlockSpec((1, h, N, d), lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -168,11 +175,12 @@ def _cross_kernel(qk0_ref, qk1_ref, v0_ref, v1_ref, b0_ref, b1_ref,
             preferred_element_type=jnp.float32).astype(o1_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "block_q"))
 def cross_attention_bidir(
     qk0: jax.Array, qk1: jax.Array, v0: jax.Array, v1: jax.Array,
     mask0: Optional[jax.Array] = None, mask1: Optional[jax.Array] = None,
     interpret: bool = False,
+    block_q: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Shared-QK bidirectional cross attention (LightGlue CrossBlock).
 
@@ -191,13 +199,15 @@ def cross_attention_bidir(
              else jnp.where(mask0, 0.0, _BIAS).astype(jnp.float32))[:, None]
     bias1 = (jnp.zeros((B, M), jnp.float32) if mask1 is None
              else jnp.where(mask1, 0.0, _BIAS).astype(jnp.float32))[:, None]
-    if _QBLOCK and N % _QBLOCK == 0 and M % _QBLOCK == 0:
+    if block_q is None:
+        block_q = _QBLOCK
+    if block_q and N % block_q == 0 and M % block_q == 0:
         # both directions through the same generic q-blocked kernel
         # (inputs pre-scaled -> scale 1); the similarity is recomputed for
         # the reverse direction, which the whole-problem kernel does too
         return (
-            _qblock_attention(qk0, qk1, v1, bias1, 1.0, _QBLOCK, interpret),
-            _qblock_attention(qk1, qk0, v0, bias0, 1.0, _QBLOCK, interpret))
+            _qblock_attention(qk0, qk1, v1, bias1, 1.0, block_q, interpret),
+            _qblock_attention(qk1, qk0, v0, bias0, 1.0, block_q, interpret))
 
     def spec(n):
         return pl.BlockSpec((1, h, n, d), lambda b: (b, 0, 0, 0),

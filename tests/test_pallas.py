@@ -127,17 +127,18 @@ class TestPallasAttention:
             np.asarray(jnp.where(m1[:, None, :, None], g1, 0)),
             np.asarray(jnp.where(m1[:, None, :, None], w1, 0)), atol=1e-5)
 
-    def test_qblock_variant_matches_whole_problem(self, rng, monkeypatch):
-        """EI_NEXUS_ATTN_QBLOCK path: q-blocked grid == whole-problem
-        kernels == XLA reference."""
+    def test_qblock_variant_matches_whole_problem(self, rng):
+        """block_q path: q-blocked grid == whole-problem kernels == XLA
+        reference. block_q is a STATIC jit arg, so the two variants get
+        distinct traces (an env-global toggle would hit the jit cache and
+        compare the blocked output against itself)."""
         import ei_nexus_tpu.ops.pallas_attention as pa
         from ei_nexus_tpu.models.lightglue import _attention_xla
-        monkeypatch.setattr(pa, "_QBLOCK", 64)
         B, h, N, d = 2, 2, 128, 64
         q, k, v = (jnp.asarray(rng.normal(size=(B, h, N, d)).astype(
             np.float32)) for _ in range(3))
         mask = jnp.asarray(rng.uniform(size=(B, N)) > 0.2)
-        got = pa.self_attention(q, k, v, mask, interpret=True)
+        got = pa.self_attention(q, k, v, mask, interpret=True, block_q=64)
         want = _attention_xla(q, k, v, mask)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
@@ -148,10 +149,9 @@ class TestPallasAttention:
         m0 = jnp.asarray(rng.uniform(size=(B, N)) > 0.2)
         m1 = jnp.asarray(rng.uniform(size=(B, N)) > 0.2)
         gb0, gb1 = pa.cross_attention_bidir(qk0, qk1, v0, v1, m0, m1,
-                                            interpret=True)
-        monkeypatch.setattr(pa, "_QBLOCK", 0)
+                                            interpret=True, block_q=64)
         gw0, gw1 = pa.cross_attention_bidir(qk0, qk1, v0, v1, m0, m1,
-                                            interpret=True)
+                                            interpret=True, block_q=0)
         np.testing.assert_allclose(
             np.asarray(jnp.where(m0[:, None, :, None], gb0, 0)),
             np.asarray(jnp.where(m0[:, None, :, None], gw0, 0)), atol=1e-5)

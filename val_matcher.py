@@ -72,6 +72,15 @@ def main(argv=None):
     from ei_nexus_tpu.losses.matcher_loss import lightglue_loss
     from ei_nexus_tpu.metrics.matching import matcher_metrics
 
+    # the same hyperparameters the trainer reads (train_matcher.py:137-141)
+    cfg_d = cfg.to_dict()
+    gtc = cfg_d.get("train", {}).get("gt_matches", {})
+    pos_th = float(gtc.get("pos_th", 3.0))
+    neg_th = float(gtc.get("neg_th", 5.0))
+    lg_cfg = cfg_d.get("model", {}).get("matcher", {}).get("lightglue", {})
+    gamma = float(lg_cfg.get("gamma", 1.0))
+    nll_balancing = float(lg_cfg.get("nll_balancing", 0.5))
+
     @jax.jit
     def loss_step(state, batch):
         data0, data1, T01, T10 = batch[:4]
@@ -89,8 +98,11 @@ def main(argv=None):
         kp1 = matches["input_feats1"]["sparse_positions"][..., :2]
         gt = gt_matches_from_pose_depth(
             kp0, kp1, cam, cam, data0["depth"], data1["depth"],
-            Pose.from_4x4mat(T01), Pose.from_4x4mat(T10), ordering="yx")
-        loss, info = lightglue_loss(matches, gt, training=True)
+            Pose.from_4x4mat(T01), Pose.from_4x4mat(T10),
+            pos_th=pos_th, neg_th=neg_th, ordering="yx")
+        loss, info = lightglue_loss(matches, gt, gamma=gamma,
+                                    nll_balancing=nll_balancing,
+                                    training=True)
         out = {"matcher_loss": loss, **info}
         return ({k: jnp.mean(v) for k, v in out.items()},
                 matches["matches0"], gt["matches0"],
