@@ -292,11 +292,25 @@ def events_to_distance_map(
     return jnp.stack(out)
 
 
+def _accumulation_representation(x, y, t, p, *, bins, height, width,
+                                 mask=None):
+    """Event-count image as a 1-channel representation (the reference's
+    `events_image`, datasets/MVSEC.py:850-855 — raw counts, no
+    normalization). Lets the ImageImageMatcher baselines (SuperPoint/SiLK
+    on the accumulation frame vs the grayscale frame,
+    configs/model/SuperpointMatcher.yaml) run through the same pipeline;
+    `bins` is ignored (always 1 channel)."""
+    del t, p, bins
+    return events_to_accumulation_image(x, y, height=height, width=width,
+                                        mask=mask)[None]
+
+
 _CONVERTERS = {
     "VoxelGrid": events_to_voxel_grid,
     "TimeSurface": events_to_time_surface,
     "EventStack": events_to_event_stack,
     "DistanceMap": events_to_distance_map,
+    "AccumulationImage": _accumulation_representation,
 }
 
 

@@ -26,7 +26,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from ei_nexus_tpu.utils import load_config
-    from ei_nexus_tpu.models import EIM, eim_config_from_dict
+    from ei_nexus_tpu.models import (EIM, build_model,
+                                     eim_config_from_dict)
     from ei_nexus_tpu.train import create_train_state, restore_checkpoint
     from ei_nexus_tpu.train.evaluate import val_extractor
     from ei_nexus_tpu.train.steps import batch_representation
@@ -44,19 +45,25 @@ def main(argv=None):
     H, W = ds_cfg["resolution"]
     bins, rep = ds_cfg["channel"], ds_cfg["representation_type"]
     # same-time protocol: single-view pairs over the val sequences
+    # (dataset.val_sequences overrides the stock list, as in fetch_*)
     if ds_cfg["name"] == "mvsec":
-        val_ds = MVSECPairDataset(ds_cfg["data_path"], VAL_SEQUENCES,
+        val_ds = MVSECPairDataset(ds_cfg["data_path"],
+                                  ds_cfg.get("val_sequences")
+                                  or VAL_SEQUENCES,
                                   ds_cfg["event_dt"],
                                   ds_cfg.get("max_events", 1 << 18),
                                   mode="single")
     else:
-        val_ds = ECPairDataset(ds_cfg["data_path"], EC_VAL_SEQUENCES,
+        val_ds = ECPairDataset(ds_cfg["data_path"],
+                               ds_cfg.get("val_sequences")
+                               or EC_VAL_SEQUENCES,
                                ds_cfg["event_dt"],
                                ds_cfg.get("max_events", 1 << 17),
                                mode="single")
     loader = DataLoader(val_ds, batch_size=1, shuffle=False, drop_last=False)
 
-    model = EIM(config=eim_config_from_dict(cfg.model.to_dict()))
+    model = build_model(cfg.model.to_dict().get("name", "EIM"),
+                        eim_config_from_dict(cfg.model.to_dict()))
     sample = val_ds[0]
     ev_rep, ev_mask = batch_representation(
         {k: np.asarray(v)[None] for k, v in sample[0].items()

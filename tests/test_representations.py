@@ -353,3 +353,24 @@ class TestBurstyStreams:
                                                with_drop_stat=True)
         assert rep.shape == (1, H, W, 8)
         assert float(drop) == 0.0
+
+
+def test_accumulation_image_representation(rng):
+    """'AccumulationImage' representation kind == the reference events_image
+    (raw counts, MVSEC.py:850-855) with a leading channel axis."""
+    import jax.numpy as jnp
+    from ei_nexus_tpu.data.representations import (
+        build_representation, events_to_accumulation_image)
+    H, W = 24, 32
+    x, y, t, p = make_events(rng, 500, H, W)
+    xp, yp, tp, pp, m = pad_events(x, y, t, p, 512)
+    rep = build_representation("AccumulationImage", jnp.asarray(xp),
+                               jnp.asarray(yp), jnp.asarray(tp),
+                               jnp.asarray(pp), bins=1, height=H, width=W,
+                               mask=jnp.asarray(m))
+    assert rep.shape == (1, H, W)
+    want = events_to_accumulation_image(jnp.asarray(xp), jnp.asarray(yp),
+                                        height=H, width=W,
+                                        mask=jnp.asarray(m))
+    np.testing.assert_array_equal(np.asarray(rep[0]), np.asarray(want))
+    assert float(rep.sum()) == 500.0

@@ -64,7 +64,7 @@ def main(argv=None):
     args = parse_args(argv)
     from ei_nexus_tpu.utils import load_config, logger_from_config
     from ei_nexus_tpu.utils.config import save_config
-    from ei_nexus_tpu.models import EIM, eim_config_from_dict
+    from ei_nexus_tpu.models import EIM, build_model, eim_config_from_dict
     from ei_nexus_tpu.models.eim import EIMConfig
     from ei_nexus_tpu.losses import build_losses
     from ei_nexus_tpu.train import (
@@ -116,7 +116,7 @@ def main(argv=None):
 
     # -- model -------------------------------------------------------------
     model_cfg = eim_config_from_dict(cfg.model.to_dict())
-    model = EIM(config=model_cfg)
+    model = build_model(cfg.model.to_dict().get("name", "EIM"), model_cfg)
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     sample = train_ds[0]
     ev_rep, ev_mask = batch_representation(

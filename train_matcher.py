@@ -60,7 +60,7 @@ def main(argv=None):
     args = parse_args(argv)
     from ei_nexus_tpu.utils import load_config, logger_from_config
     from ei_nexus_tpu.utils.config import save_config
-    from ei_nexus_tpu.models import EIM, eim_config_from_dict
+    from ei_nexus_tpu.models import EIM, build_model, eim_config_from_dict
     from ei_nexus_tpu.train import (
         build_optimizer, build_schedule, create_train_state, freeze_mask,
         save_checkpoint, restore_checkpoint, load_stage1_event_extractor,
@@ -98,7 +98,7 @@ def main(argv=None):
     logger.log_info(f"train dataset: {len(train_ds)} samples")
 
     model_cfg = eim_config_from_dict(cfg.model.to_dict())
-    model = EIM(config=model_cfg)
+    model = build_model(cfg.model.to_dict().get("name", "EIM"), model_cfg)
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     sample = train_ds[0]
     ev_rep, ev_mask = batch_representation(

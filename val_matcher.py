@@ -28,7 +28,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from ei_nexus_tpu.utils import load_config
-    from ei_nexus_tpu.models import EIM, eim_config_from_dict
+    from ei_nexus_tpu.models import (EIM, build_model,
+                                     eim_config_from_dict)
     from ei_nexus_tpu.train import create_train_state, restore_checkpoint
     from ei_nexus_tpu.train.evaluate import rpe_eval
     from ei_nexus_tpu.train.steps import batch_representation
@@ -49,7 +50,8 @@ def main(argv=None):
     val_ds = fetch(ds_cfg, "val")
     loader = DataLoader(val_ds, batch_size=1, shuffle=False, drop_last=False)
 
-    model = EIM(config=eim_config_from_dict(cfg.model.to_dict()))
+    model = build_model(cfg.model.to_dict().get("name", "EIM"),
+                        eim_config_from_dict(cfg.model.to_dict()))
     sample = val_ds[0]
     ev_rep, ev_mask = batch_representation(
         {k: np.asarray(v)[None] for k, v in sample[0].items()
