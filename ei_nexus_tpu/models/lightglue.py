@@ -165,6 +165,11 @@ def _attention(q, k, v, kv_mask: Optional[jax.Array],
     if impl == "pallas" and _pallas_supported(q.shape[2], q.shape[3]):
         from ..ops.pallas_attention import self_attention
         return self_attention(q, k, v, kv_mask).astype(q.dtype)
+    if impl == "pallas_vjp" and _pallas_supported(q.shape[2], q.shape[3]):
+        # differentiable fused kernels (training): custom-vjp forward +
+        # row-major backward, ops/pallas_attention.fused_attention_vjp
+        from ..ops.pallas_attention import fused_attention_vjp
+        return fused_attention_vjp(q, k, v, kv_mask).astype(q.dtype)
     if impl == "flash" and _flash_supported(q.shape[2], q.shape[3]):
         return _flash_attention(q, k, v, kv_mask,
                                 sm_scale=q.shape[-1] ** -0.5).astype(q.dtype)
@@ -267,6 +272,16 @@ class CrossBlock(nn.Module):
             m0, m1 = cross_attention_bidir(qk0, qk1, v0, v1, mask0, mask1)
             m0 = m0.astype(v1.dtype)
             m1 = m1.astype(v0.dtype)
+        elif self.attn_impl == "pallas_vjp" \
+                and _pallas_supported(N, hd, M) and M % 128 == 0:
+            # training: each direction through the differentiable fused
+            # kernel (inputs pre-scaled -> scale 1); autodiff sums the
+            # q-role and k-role gradients flowing into the shared qk
+            from ..ops.pallas_attention import fused_attention_vjp
+            m0 = fused_attention_vjp(qk0, qk1, v1, mask1,
+                                     scale=1.0).astype(v1.dtype)
+            m1 = fused_attention_vjp(qk1, qk0, v0, mask0,
+                                     scale=1.0).astype(v0.dtype)
         elif self.attn_impl == "flash" and _flash_supported(N, hd) \
                 and M % 128 == 0:
             # two flash passes (qk pre-scaled on both sides -> sm_scale 1);
@@ -437,7 +452,22 @@ class LightGlue(nn.Module):
             # similarity tile no longer fits VMEM. Training/backprop uses
             # XLA (fused kernels are forward-only), see attn_impl below.
             impl = "pallas"
-        attn_impl = impl if (not training and not cfg.shard_heads) else "xla"
+        if cfg.shard_heads:
+            # tensor-parallel heads need XLA's partitionable einsums
+            attn_impl = "xla"
+        elif training:
+            # pallas has a differentiable path (custom-vjp kernels); use it
+            # on a single device — under a multi-device mesh the GSPMD
+            # partitioner cannot split a pallas_call, so training at scale
+            # keeps XLA. flash is forward-only. EI_NEXUS_ATTN_TRAIN=xla
+            # restores the XLA training path.
+            import os
+            attn_impl = ("pallas_vjp"
+                         if impl == "pallas" and jax.device_count() == 1
+                         and os.environ.get("EI_NEXUS_ATTN_TRAIN") != "xla"
+                         else "xla")
+        else:
+            attn_impl = impl
 
         all_scores = []
         conf_logits0, conf_logits1 = [], []

@@ -228,3 +228,181 @@ def cross_attention_bidir(
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(qk0, qk1, v0, v1, bias0, bias1)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused attention (training path)
+# ---------------------------------------------------------------------------
+
+
+def _generic_fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, heads):
+    """Single-direction whole-problem attention; arbitrary softmax scale."""
+    bias = b_ref[0, 0]                    # (M,) key-side additive bias
+    for hh in range(heads):
+        q = q_ref[0, hh]                  # (N, d)
+        k = k_ref[0, hh]                  # (M, d)
+        v = v_ref[0, hh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = _row_softmax(s + bias[None, :]).astype(v.dtype)
+        o_ref[0, hh] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _whole_attention(q, k, v, bias_lane, scale: float, interpret: bool):
+    B, h, N, d = q.shape
+    M = k.shape[2]
+
+    def spec(n):
+        return pl.BlockSpec((1, h, n, d), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_generic_fwd_kernel, scale=scale, heads=h),
+        grid=(B,),
+        in_specs=[spec(N), spec(M), spec(M),
+                  pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=spec(N),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(q, k, v, bias_lane)
+
+
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, bl_ref, bc_ref, do_ref,
+                          dq_ref, dk_ref, dv_ref, *, scale, heads):
+    """Flash-style attention backward with every contraction and softmax
+    ROW-major (the Mosaic compile hazard is column-direction work on the
+    (N, M) f32 tile — see module docstring). The transposed quantities are
+    recomputed from the small (tokens, d) operands:
+
+      S  = scale·QK^T + bias[None, :];  m, Z = rowmax/rowsumexp(S)
+      P  = exp(S − m)/Z                                  (N, M)
+      dP = dO V^T;  c = rowsum(dP ∘ P);  dS = P ∘ (dP − c[:, None])
+      dQ = scale · dS K
+      S^T  = scale·KQ^T + bias[:, None]                  (M, N)
+      P^T[j,i] = exp(S^T[j,i] − m_i)/Z_i   (pass-1 row normalizers — NOT a
+                 row softmax of S^T, whose normalization axis is wrong)
+      dV   = P^T dO
+      dP^T = V dO^T;  dS^T = P^T ∘ (dP^T − c[None, :])
+      dK   = scale · dS^T Q
+
+    bias enters row-wise in the first pass (lane broadcast of bl) and
+    column-wise in the transposed pass — fed as a separate (M, 1)-shaped
+    input (bc) so no in-kernel vector relayout is needed; m/Z/c cross from
+    sublane to lane orientation via tiny (N,)-vector reshapes.
+    """
+    bias_lane = bl_ref[0, 0]              # (M,) lanes
+    for hh in range(heads):
+        q = q_ref[0, hh]
+        k = k_ref[0, hh]
+        v = v_ref[0, hh]
+        do = do_ref[0, hh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = s + bias_lane[None, :]                          # (N, M) f32
+        m = jnp.max(s, axis=1, keepdims=True)               # (N, 1)
+        e = jnp.exp(s - m)
+        z = jnp.sum(e, axis=1, keepdims=True)               # (N, 1)
+        p = e / z
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        c = jnp.sum(dp * p, axis=1, keepdims=True)          # (N, 1)
+        ds = (p * (dp - c)).astype(q.dtype)
+        dq_ref[0, hh] = (jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            * scale).astype(dq_ref.dtype)
+
+        # transposed pass: rows are keys; pass-1 normalizers along lanes
+        bias_col = bc_ref[0, :, 0]                          # (M,) sublanes
+        st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        st = st + bias_col[:, None]                         # (M, N)
+        m_lane = m.reshape(1, -1)                           # (1, N)
+        z_lane = z.reshape(1, -1)
+        c_lane = c.reshape(1, -1)
+        pt = jnp.exp(st - m_lane) / z_lane                  # = P^T
+        dv_ref[0, hh] = jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dst = (pt * (dpt - c_lane)).astype(q.dtype)
+        dk_ref[0, hh] = (jax.lax.dot_general(
+            dst, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            * scale).astype(dk_ref.dtype)
+
+
+def _attention_bwd_call(q, k, v, bias_lane, bias_col, do, scale: float,
+                        interpret: bool):
+    B, h, N, d = q.shape
+    M = k.shape[2]
+
+    def spec(n):
+        return pl.BlockSpec((1, h, n, d), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_attention_bwd_kernel, scale=scale, heads=h),
+        grid=(B,),
+        in_specs=[spec(N), spec(M), spec(M),
+                  pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, M, 1), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  spec(N)],
+        out_specs=(spec(N), spec(M), spec(M)),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(q, k, v, bias_lane, bias_col, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_attention(q, k, v, bias_lane, bias_col, scale, interpret):
+    return _whole_attention(q, k, v, bias_lane, scale, interpret)
+
+
+def _fused_attention_fwd(q, k, v, bias_lane, bias_col, scale, interpret):
+    o = _whole_attention(q, k, v, bias_lane, scale, interpret)
+    return o, (q, k, v, bias_lane, bias_col)
+
+
+def _fused_attention_bwd(scale, interpret, res, do):
+    q, k, v, bias_lane, bias_col = res
+    dq, dk, dv = _attention_bwd_call(q, k, v, bias_lane, bias_col,
+                                     do.astype(q.dtype), scale, interpret)
+    return dq, dk, dv, jnp.zeros_like(bias_lane), jnp.zeros_like(bias_col)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+def fused_attention_vjp(q: jax.Array, k: jax.Array, v: jax.Array,
+                        kv_mask: Optional[jax.Array] = None,
+                        scale: Optional[float] = None,
+                        interpret: bool = False) -> jax.Array:
+    """Differentiable fused attention: the whole-problem forward kernel
+    plus a matching row-major backward kernel (training path — XLA's
+    attention backward materializes the scores AND their gradients in HBM).
+    The key-side mask receives zero gradient (it is boolean upstream).
+
+    scale: softmax scale (default d^-0.5; pass 1.0 for LightGlue's
+    pre-scaled cross projections).
+    """
+    B, h, N, d = q.shape
+    M = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    bias = (jnp.zeros((B, M), jnp.float32) if kv_mask is None
+            else jnp.where(kv_mask, 0.0, _BIAS).astype(jnp.float32))
+    return _fused_attention(q, k, v, bias[:, None, :], bias[:, :, None],
+                            float(scale), interpret)

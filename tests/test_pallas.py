@@ -158,3 +158,39 @@ class TestPallasAttention:
         np.testing.assert_allclose(
             np.asarray(jnp.where(m1[:, None, :, None], gb1, 0)),
             np.asarray(jnp.where(m1[:, None, :, None], gw1, 0)), atol=1e-5)
+
+    def test_fused_attention_vjp_grads_match_xla(self, rng):
+        """Custom-vjp fused attention: gradients == XLA autodiff (the
+        training path). Covers both scale conventions (self d^-0.5, cross
+        pre-scaled -> 1.0)."""
+        from ei_nexus_tpu.ops.pallas_attention import fused_attention_vjp
+        from ei_nexus_tpu.models.lightglue import _attention_xla
+        B, h, N, M, d = 2, 2, 128, 256, 64
+        q = jnp.asarray(rng.normal(size=(B, h, N, d)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, h, M, d)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, h, M, d)).astype(np.float32))
+        mask = jnp.asarray(rng.uniform(size=(B, M)) > 0.2)
+        co = jnp.asarray(rng.normal(size=(B, h, N, d)).astype(np.float32))
+
+        gp = jax.grad(lambda q, k, v: jnp.sum(fused_attention_vjp(
+            q, k, v, mask, interpret=True) * co), argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(lambda q, k, v: jnp.sum(_attention_xla(
+            q, k, v, mask) * co), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+        def xla1(q, k, v):
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k)
+            sim = jnp.where(mask[:, None, None, :], sim, -1e9)
+            return jnp.einsum("bhij,bhjd->bhid",
+                              jax.nn.softmax(sim, -1), v)
+
+        gp1 = jax.grad(lambda q, k, v: jnp.sum(fused_attention_vjp(
+            q, k, v, mask, scale=1.0, interpret=True) * co),
+            argnums=(0, 1, 2))(q, k, v)
+        gx1 = jax.grad(lambda q, k, v: jnp.sum(xla1(q, k, v) * co),
+                       argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp1, gx1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
