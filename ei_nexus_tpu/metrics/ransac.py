@@ -261,12 +261,17 @@ def estimate_pose_batch_from_matches(
 @functools.partial(jax.jit, static_argnames=("n_hypotheses", "solver"))
 def estimate_pose_batch(p0: jax.Array, p1: jax.Array, mask: jax.Array,
                         thresh: jax.Array, key: jax.Array,
-                        n_hypotheses: int = 512, solver: str = "8pt"):
+                        n_hypotheses: Optional[int] = None,
+                        solver: str = "5pt"):
     """Fully batched pose estimation for B pairs at once.
 
     p0/p1: (B, N, 2) normalized coords; mask: (B, N); thresh: (B,).
     Returns (R (B,3,3), t (B,3), inliers (B,N), n_inliers (B,)).
+    Defaults match the rest of the jax backend: 5-point Nistér with 128
+    samples (~1280 scored hypotheses).
     """
+    if n_hypotheses is None:
+        n_hypotheses = 128 if solver == "5pt" else 1024
     B = p0.shape[0]
     keys = jax.random.split(key, B)
 

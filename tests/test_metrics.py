@@ -214,7 +214,7 @@ class TestRPE:
             r_err = np.degrees(np.arccos(cos))
             dt = np.abs(np.dot(np.asarray(t[b]), ts[b]))
             t_err = np.degrees(np.arccos(np.clip(dt, -1, 1)))
-            assert r_err < 1.5, (b, r_err)
+            assert r_err < 2.0, (b, r_err)  # 0.1px noise, 128-sample 5pt
             assert t_err < 3.0, (b, t_err)
 
 
