@@ -31,10 +31,18 @@ def _unmask(arr, valid):
 
 def _matched_pairs(matches: Dict, feats0: Dict, feats1: Dict, b: int):
     """Recover the ragged matched keypoint lists of sample b (reference
-    matched_kpts0/1 outputs) from fixed-K arrays."""
+    matched_kpts0/1 outputs) from fixed-K arrays.
+
+    Match indices address the matcher's PADDED slot space
+    (max_points_num), which can exceed the extractor's K (e.g. SiLK's 512
+    keypoints in 1024 matcher slots) — take keypoints from the matcher's
+    own input feats, falling back to the extractor feats for matchers
+    that do not report them."""
+    f0 = matches.get("input_feats0", feats0)
+    f1 = matches.get("input_feats1", feats1)
     m0 = np.asarray(matches["matches0"][b])
-    kp0 = np.asarray(feats0["sparse_positions"][b])
-    kp1 = np.asarray(feats1["sparse_positions"][b])
+    kp0 = np.asarray(f0["sparse_positions"][b])
+    kp1 = np.asarray(f1["sparse_positions"][b])
     sel = m0 > -1
     return kp0[sel], kp1[m0[sel]]
 
@@ -122,9 +130,13 @@ def rpe_eval(state, model, loader, rep_kind: str, bins: int, height: int,
         B = np.asarray(T01).shape[0]
         if backend == "jax":
             # one device RANSAC call for the whole batch
-            # (metrics/ransac.py:estimate_pose_batch_from_matches)
+            # (metrics/ransac.py:estimate_pose_batch_from_matches).
+            # Positions come from the matcher's padded slot space, which
+            # the match indices address (it can exceed the extractor K)
+            f0 = matches.get("input_feats0", ev)
+            f1 = matches.get("input_feats1", im)
             outs = rpe.update_batch_device(
-                ev["sparse_positions"], im["sparse_positions"],
+                f0["sparse_positions"], f1["sparse_positions"],
                 matches["matches0"], data0["K"], data1["K"], T01)
             for out in outs:
                 for k, v in out.items():

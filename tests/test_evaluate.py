@@ -109,3 +109,47 @@ class TestEvalEdgeCases:
         assert out["n_pairs"] == 4
         for k, v in out.items():
             assert not np.isinf(v), k
+
+
+class TestMismatchedSlotSpace:
+    """Extractor K smaller than the matcher's max_points_num (the SiLK
+    configuration: 512 keypoints in 1024 matcher slots) — match indices
+    address the PADDED slot space, so evaluation must take keypoints from
+    the matcher's input feats (regression: IndexError in _matched_pairs)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import dataclasses
+        from ei_nexus_tpu.models.extractor import KeypointExtractorConfig
+        rng = np.random.default_rng(1)
+        cfg = small_config("MNN")
+        small_k = KeypointExtractorConfig(detection_top_k=KPTS // 2)
+        cfg = dataclasses.replace(
+            cfg,
+            event_extractor=dataclasses.replace(cfg.event_extractor,
+                                                keypoints=small_k),
+            image_extractor=dataclasses.replace(cfg.image_extractor,
+                                                keypoints=small_k))
+        model = EIM(config=cfg)
+        batch = synth_batch(rng)
+        ev_rep, ev_mask = batch_representation(
+            {k: jnp.asarray(v) for k, v in batch[0].items()
+             if k.startswith("events")}, "VoxelGrid", BINS, H, W)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, ev_rep,
+                               jnp.asarray(batch[0]["image"]), ev_mask)
+        state = create_train_state(model, variables, optax.sgd(0.0))
+        return model, state, rng
+
+    def test_val_extractor(self, setup):
+        model, state, rng = setup
+        out = val_extractor(state, model, [synth_batch(rng)], "VoxelGrid",
+                            BINS, H, W)
+        assert "MR" in out and np.isfinite(out["MR"])
+
+    def test_rpe_eval_both_backends(self, setup):
+        model, state, rng = setup
+        batches = [synth_batch(rng)]
+        for backend in ("opencv", "jax"):
+            out = rpe_eval(state, model, batches, "VoxelGrid", BINS, H, W,
+                           backend=backend)
+            assert out["n_pairs"] == 2
