@@ -44,11 +44,11 @@ class SiLKVGG(nn.Module):
     def __call__(self, image: jax.Array,
                  score_mask: Optional[jax.Array] = None,
                  train: bool = False) -> Dict[str, Any]:
-        """image: (B, H, W, 1) grayscale in [0, 255] (SiLK consumes raw
-        intensities; reference silk_extractor feeds the 0-255 tensor)."""
+        """image: (B, H, W, 1) grayscale in [0, 255], divided by 255 inside
+        (reference silk_extractor.py:180 `image = image / 255.0`)."""
         assert image.ndim == 4
         H, W = image.shape[1], image.shape[2]
-        x = image.astype(self.dtype)
+        x = image.astype(self.dtype) / 255.0
 
         feats = VGGBackbone(
             feat_channels=self.feat_channels,
@@ -98,6 +98,17 @@ def load_silk_torch_weights(state_dict) -> Dict[str, Any]:
     """
     sd = {re.sub(r"^(_mods\.model\.|model\.)", "", k): v
           for k, v in state_dict.items()}
+    # the REAL module layout (verified against the reference SiLKModel's
+    # state dict, silk/silk.py SiLKVGG -> SharedBackboneMultipleHeads):
+    #   backbone._backbone.layers.{s}.{c}.{0 conv | 2 bn}
+    #   backbone._heads._mods.logits._detH{1,2}...
+    #   backbone._heads._mods.raw_descriptors._desH{1,2}...
+    # normalize it to the flat names the mapping below consumes
+    sd = {k.replace("backbone._backbone.", "backbone.")
+           .replace("backbone._heads._mods.logits.", "detector_head.")
+           .replace("backbone._heads._mods.raw_descriptors.",
+                    "descriptor_head."): v
+          for k, v in sd.items()}
     params: Dict[str, Any] = {"backbone": {}, "detector_head": {},
                               "descriptor_head": {}}
     stats: Dict[str, Any] = {"backbone": {}, "detector_head": {},

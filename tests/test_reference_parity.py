@@ -741,3 +741,114 @@ class TestEIMEndToEndParity:
                     assert our_m0[p0[j]] == -1, j
                 else:
                     assert inv1[our_m0[p0[j]]] == ref_m0[j], j
+
+
+# ---------------------------------------------------------------------------
+# SiLK vs the real reference image extractor (silk_extractor.py:78 wrapping
+# the vendored SiLKVGG, silk/backbones/silk/silk.py:85)
+# ---------------------------------------------------------------------------
+
+import core.modules.image_extractors.silk_extractor as ref_silk_mod
+from ei_nexus_tpu.models.silk import (SiLKVGG as OurSiLK,
+                                      load_silk_torch_weights)
+
+
+def _ref_silk(padding: int, top_k: int = 64, seed: int = 11):
+    """The ACTUAL reference SiLKModel, checkpoint loading bypassed (the
+    pvgg-4.ckpt blob is stripped from the snapshot) so weights stay at
+    torch's random init."""
+    orig = ref_silk_mod.load_model_from_checkpoint
+    ref_silk_mod.load_model_from_checkpoint = \
+        lambda model, **kw: model.eval()
+    try:
+        torch.manual_seed(seed)
+        ref = ref_silk_mod.SiLKModel(
+            device="cpu", padding=padding, nms_radius=4,
+            detection_top_k=top_k, detection_threshold=1.0,
+            remove_borders=4,
+            # the config value (configs/model/SiLK_MNN.yaml silk:
+            # descriptor_scale_factor: 1.41) — the ctor default is 1.0
+            descriptor_scale_factor=1.41).eval()
+    finally:
+        ref_silk_mod.load_model_from_checkpoint = orig
+    return ref
+
+
+class TestSiLKForwardParity:
+    """Real reference SiLK forward vs our flax port: verifies the REAL
+    checkpoint key layout (backbone._backbone.layers...,
+    backbone._heads._mods.{logits,raw_descriptors}...), the /255 input
+    normalization (silk_extractor.py forward), the conv->relu->BN block
+    order, and the full cell-1 postprocessing."""
+
+    def test_padding1(self, rng):
+        H, W = 48, 56
+        ref = _ref_silk(padding=1)
+        x = torch.from_numpy(
+            (rng.random((2, 1, H, W)) * 255).astype(np.float32))
+        with torch.no_grad():
+            ref_out = ref(x)
+
+        variables = load_silk_torch_weights(ref.model.state_dict())
+        cfg = KeypointExtractorConfig(
+            cell_size=1, nms_radius=4, detection_top_k=64,
+            detection_threshold=1.0, remove_borders=4,
+            descriptor_scale_factor=1.41, sparse_desc_from="fullres",
+            smooth_mask=False, nms_impl="xla")
+        model = OurSiLK(config=cfg, conv_padding="SAME")
+        out = model.apply(variables,
+                          jnp.asarray(t2n(x).transpose(0, 2, 3, 1)))
+        _assert_extractor_parity(ref_out, out, np_variant=True)
+
+    def test_padding0_plus9_remap(self, rng):
+        """padding=0 (VALID convs): the score map shrinks by 9 px per side
+        and the reference remaps positions by +9 (mapping_positions,
+        silk_extractor.py:146-153). Our cfg expresses the same via
+        coord_offset=9 on the VALID-conv model.
+
+        The reference's own padding=0 path is bit-rotted: mapping_positions
+        type-checks `tuple` but unpad_positions hands it a LIST, so it
+        crashes indexing `list[..., 0]`. Patch it minimally to its intended
+        semantics (treat lists like tuples) to obtain the oracle output."""
+        H, W = 48, 56
+        ref = _ref_silk(padding=0)
+        orig_map = ref_silk_mod.SiLKModel.mapping_positions
+
+        def mapping_fixed(self, positions):
+            if isinstance(positions, list):
+                positions = tuple(positions)
+            return orig_map(self, positions)
+
+        ref_silk_mod.SiLKModel.mapping_positions = mapping_fixed
+        try:
+            x = torch.from_numpy(
+                (rng.random((2, 1, H, W)) * 255).astype(np.float32))
+            with torch.no_grad():
+                ref_out = ref(x)
+        finally:
+            ref_silk_mod.SiLKModel.mapping_positions = orig_map
+
+        variables = load_silk_torch_weights(ref.model.state_dict())
+        cfg = KeypointExtractorConfig(
+            cell_size=1, nms_radius=4, detection_top_k=64,
+            detection_threshold=1.0, remove_borders=4,
+            descriptor_scale_factor=1.41, sparse_desc_from="fullres",
+            smooth_mask=False, nms_impl="xla", coord_offset=9.0)
+        model = OurSiLK(config=cfg, conv_padding="VALID")
+        out = model.apply(variables,
+                          jnp.asarray(t2n(x).transpose(0, 2, 3, 1)))
+        # map-level comparisons on the SHRUNK grid
+        np.testing.assert_allclose(nchw(out["logits"]),
+                                   t2n(ref_out["logits"]), atol=5e-4)
+        np.testing.assert_allclose(nchw(out["normalized_descriptors"]),
+                                   t2n(ref_out["normalized_descriptors"]),
+                                   atol=1e-3)
+        # keypoint sets (remapped coordinates) must match exactly
+        ours = fixed_to_ragged(out["sparse_positions"], out["sparse_valid"],
+                               out["sparse_descriptors"])
+        refs = ref_sorted(ref_out["sparse_positions"],
+                          ref_out["sparse_descriptors"])
+        for (op_, od), (rp, rd) in zip(ours, refs):
+            assert op_.shape == rp.shape, (op_.shape, rp.shape)
+            np.testing.assert_allclose(op_[:, :2], rp[:, :2], atol=1e-6)
+            np.testing.assert_allclose(od, rd, atol=1e-3)
