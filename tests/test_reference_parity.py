@@ -852,3 +852,67 @@ class TestSiLKForwardParity:
             assert op_.shape == rp.shape, (op_.shape, rp.shape)
             np.testing.assert_allclose(op_[:, :2], rp[:, :2], atol=1e-6)
             np.testing.assert_allclose(od, rd, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# MNN matcher vs the real reference (core/modules/matchers/MNN.py:35)
+# ---------------------------------------------------------------------------
+
+from core.modules.matchers.MNN import NearestNeighborMatcher as RefMNN
+from ei_nexus_tpu.models.mnn import mnn_match
+
+
+class TestMNNParity:
+    """find_nn / mutual_check / log-assignment vs the real reference, on
+    identical descriptor sets (all slots valid: the reference has no
+    masking; our mask path is exercised by the fixed-K model tests)."""
+
+    def _feats(self, rng, B, N, M, D=32):
+        def side(k):
+            d = rng.normal(size=(B, k, D)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            p = np.concatenate(
+                [rng.uniform(0, 64, (B, k, 2)),
+                 rng.random((B, k, 1))], -1).astype(np.float32)
+            return d, p
+        d0, p0 = side(N)
+        d1, p1 = side(M)
+        # plant near-identical correspondences so every sample has matches
+        # under any threshold config — the REFERENCE crashes on zero-match
+        # samples (MNN.py:113 stack of an empty list)
+        n_plant = min(N, M) // 3
+        d1[:, :n_plant] = d0[:, :n_plant] + 0.02 * rng.normal(
+            size=(B, n_plant, D)).astype(np.float32)
+        d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+        return d0, p0, d1, p1
+
+    @pytest.mark.parametrize("ratio,dist", [(None, None), (0.95, None),
+                                            (None, 0.7), (0.9, 1.2)])
+    def test_matches_and_assignment(self, rng, ratio, dist):
+        B, N, M = 3, 40, 56
+        d0, p0, d1, p1 = self._feats(rng, B, N, M)
+        ref = RefMNN(ratio_thresh=ratio, distance_thresh=dist,
+                     mutual_check=True)
+        with torch.no_grad():
+            ref_out = ref({"sparse_descriptors": torch.from_numpy(d0),
+                           "sparse_positions": torch.from_numpy(p0)},
+                          {"sparse_descriptors": torch.from_numpy(d1),
+                           "sparse_positions": torch.from_numpy(p1)})
+        out = mnn_match(
+            {"sparse_descriptors": jnp.asarray(d0),
+             "sparse_positions": jnp.asarray(p0)},
+            {"sparse_descriptors": jnp.asarray(d1),
+             "sparse_positions": jnp.asarray(p1)},
+            ratio_thresh=ratio, distance_thresh=dist, mutual_check=True)
+        np.testing.assert_array_equal(np.asarray(out["matches0"]),
+                                      t2n(ref_out["matches0"]))
+        np.testing.assert_array_equal(np.asarray(out["matches1"]),
+                                      t2n(ref_out["matches1"]))
+        np.testing.assert_allclose(np.asarray(out["matching_scores0"]),
+                                   t2n(ref_out["matching_scores0"]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["similarity"]),
+                                   t2n(ref_out["similarity"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["log_assignment"]),
+                                   t2n(ref_out["log_assignment"]),
+                                   atol=1e-4)
