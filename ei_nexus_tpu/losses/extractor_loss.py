@@ -108,8 +108,14 @@ def descriptors_loss(pred_feats: Dict, gt_feats: Dict,
         mae = _masked_mean(jnp.abs(pred_feats["normalized_descriptors"]
                                    - gt_feats["normalized_descriptors"]),
                            chan_mask)
+        # reference quirk reproduced verbatim: the triplet leg takes BOTH
+        # sides from pred_feats (extractor_loss.py:344-346), i.e. the
+        # student's raw descriptors against themselves — a spatial
+        # self-repulsion term (positives are the same pixel), not a
+        # teacher comparison
         tri = _triplet_loss(pred_feats["raw_descriptors"],
-                            gt_feats["raw_descriptors"], mask, triplet_margin)
+                            pred_feats["raw_descriptors"], mask,
+                            triplet_margin)
         loss = mae_weight * mae + triplet_weight * tri
     else:
         raise NotImplementedError(f"descriptor loss mode {mode!r}")

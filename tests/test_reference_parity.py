@@ -916,3 +916,114 @@ class TestMNNParity:
         np.testing.assert_allclose(np.asarray(out["log_assignment"]),
                                    t2n(ref_out["log_assignment"]),
                                    atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Stage-1 distillation losses vs the real reference (core/loss/extractor_loss.py)
+# ---------------------------------------------------------------------------
+
+from core.loss.extractor_loss import (ScoreLoss as RefScoreLoss,
+                                      LogitsLoss as RefLogitsLoss,
+                                      DescriptorsLoss as RefDescriptorsLoss,
+                                      FeatureLoss as RefFeatureLoss)
+from ei_nexus_tpu.losses.extractor_loss import (
+    score_loss, logits_loss, descriptors_loss, feature_loss)
+
+
+class TestExtractorLossParity:
+    """Every stage-1 loss mode vs the real reference classes on shared
+    random inputs (NCHW for torch, NHWC for us)."""
+
+    def _maps(self, rng, B=2, H=24, W=32, C=8):
+        score = rng.random((B, 1, H, W)).astype(np.float32)
+        gt_score = rng.random((B, 1, H, W)).astype(np.float32)
+        desc = rng.normal(size=(B, C, H, W)).astype(np.float32)
+        gt_desc = rng.normal(size=(B, C, H, W)).astype(np.float32)
+        mask = (rng.random((B, 1, H, W)) > 0.4)
+        return score, gt_score, desc, gt_desc, mask
+
+    @staticmethod
+    def _nhwc(a):
+        return jnp.asarray(a.transpose(0, 2, 3, 1))
+
+    @pytest.mark.parametrize("mode", ["mse", "mae", "bce", "mse-whole"])
+    def test_score_loss(self, rng, mode):
+        score, gt_score, _, _, mask = self._maps(rng)
+        ref = RefScoreLoss(weight=2.0, mode=mode, use_mask=True)
+        rl, _ = ref({"score": torch.from_numpy(score.copy())},
+                    {"score": torch.from_numpy(gt_score.copy())},
+                    mask=torch.from_numpy(mask.copy()))
+        ol, _ = score_loss({"score": jnp.asarray(score[:, 0])},
+                           {"score": jnp.asarray(gt_score[:, 0])},
+                           mask=jnp.asarray(mask[:, 0]), mode=mode,
+                           weight=2.0)
+        np.testing.assert_allclose(float(ol), float(rl), rtol=1e-5)
+
+    def test_logits_loss(self, rng):
+        B, h, w = 2, 4, 5
+        logits = rng.normal(size=(B, 65, h, w)).astype(np.float32)
+        gt_logits = rng.normal(size=(B, 65, h, w)).astype(np.float32)
+        mask = (rng.random((B, 1, 8 * h, 8 * w)) > 0.4)
+        ref = RefLogitsLoss(weight=1.5, mode="mse", cell_size=8)
+        rl, _ = ref({"logits": torch.from_numpy(logits)},
+                    {"logits": torch.from_numpy(gt_logits)},
+                    mask=torch.from_numpy(mask))
+        ol, _ = logits_loss({"logits": self._nhwc(logits)},
+                            {"logits": self._nhwc(gt_logits)},
+                            mask=jnp.asarray(mask[:, 0]), cell_size=8,
+                            weight=1.5)
+        np.testing.assert_allclose(float(ol), float(rl), rtol=1e-5)
+
+    @pytest.mark.parametrize("mode,use_mask", [
+        ("mse", True), ("mae", True), ("triplet", True),
+        # the reference's MASKED cosine/dual-softmax paths crash (forward
+        # repeats the mask to C channels, then those modes view/index it as
+        # (B, H*W) — extractor_loss.py:271-272 vs :315/:181); no shipped
+        # config uses them, so parity is asserted unmasked
+        ("cosine_similarity", False), ("dual-softmax", False)])
+    def test_descriptors_loss(self, rng, mode, use_mask):
+        _, _, desc, gt_desc, mask = self._maps(rng, H=12, W=14)
+        ref = RefDescriptorsLoss(weight=1.0, desc_type="normalized",
+                                 mode=mode, use_mask=use_mask)
+        rl, _ = ref({"normalized_descriptors": torch.from_numpy(desc)},
+                    {"normalized_descriptors": torch.from_numpy(gt_desc)},
+                    mask=torch.from_numpy(mask.astype(np.float32))
+                    if use_mask else None)
+        ol, _ = descriptors_loss(
+            {"normalized_descriptors": self._nhwc(desc)},
+            {"normalized_descriptors": self._nhwc(gt_desc)},
+            mask=jnp.asarray(mask[:, 0]) if use_mask else None,
+            mode=mode, use_mask=use_mask)
+        np.testing.assert_allclose(float(ol), float(rl), rtol=2e-4,
+                                   atol=1e-6)
+
+    def test_mae_plus_triplet(self, rng):
+        _, _, desc, gt_desc, mask = self._maps(rng, H=12, W=14)
+        raw = rng.normal(size=desc.shape).astype(np.float32)
+        gt_raw = rng.normal(size=desc.shape).astype(np.float32)
+        kargs = {"mae+triplet": {"mae_weight": 1.0, "triplet_weight": 100.0}}
+        ref = RefDescriptorsLoss(weight=1.0, desc_type="normalized",
+                                 mode="mae+triplet", use_mask=True, **kargs)
+        rl, _ = ref({"normalized_descriptors": torch.from_numpy(desc),
+                     "raw_descriptors": torch.from_numpy(raw)},
+                    {"normalized_descriptors": torch.from_numpy(gt_desc),
+                     "raw_descriptors": torch.from_numpy(gt_raw)},
+                    mask=torch.from_numpy(mask.astype(np.float32)))
+        ol, _ = descriptors_loss(
+            {"normalized_descriptors": self._nhwc(desc),
+             "raw_descriptors": self._nhwc(raw)},
+            {"normalized_descriptors": self._nhwc(gt_desc),
+             "raw_descriptors": self._nhwc(gt_raw)},
+            mask=jnp.asarray(mask[:, 0]), mode="mae+triplet")
+        np.testing.assert_allclose(float(ol), float(rl), rtol=2e-4)
+
+    @pytest.mark.parametrize("mode", ["mse", "mae"])
+    def test_feature_loss(self, rng, mode):
+        _, _, feats, gt_feats, _ = self._maps(rng)
+        ref = RefFeatureLoss(weight=3.0, mode=mode)
+        rl, _ = ref({"backbone_feats": torch.from_numpy(feats)},
+                    {"backbone_feats": torch.from_numpy(gt_feats)})
+        ol, _ = feature_loss({"backbone_feats": self._nhwc(feats)},
+                             {"backbone_feats": self._nhwc(gt_feats)},
+                             mode=mode, weight=3.0)
+        np.testing.assert_allclose(float(ol), float(rl), rtol=1e-5)
