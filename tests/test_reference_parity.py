@@ -1027,3 +1027,106 @@ class TestExtractorLossParity:
                              {"backbone_feats": self._nhwc(gt_feats)},
                              mode=mode, weight=3.0)
         np.testing.assert_allclose(float(ol), float(rl), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Eval metrics vs the real reference (core/metrics/*.py) — the protocol that
+# produces every headline number
+# ---------------------------------------------------------------------------
+
+import cv2
+
+from core.metrics.keypoints_metrics import Repeatability as RefRepeatability
+from core.metrics.matching_metrics import (
+    MatchingRatio as RefMR, MeanMatchingAccuracy as RefMMA,
+    HomographyEstimation as RefHE, RelativePoseEstimation as RefRPE)
+from ei_nexus_tpu.metrics import (Repeatability, MatchingRatio,
+                                  MeanMatchingAccuracy, HomographyEstimation,
+                                  RelativePoseEstimation)
+
+
+def _homography_scene(rng, n=120, H=120, W=160, noise=0.3):
+    """Keypoints + warped keypoints under a known homography."""
+    Hm = np.array([[1.02, 0.03, 4.0], [-0.02, 0.98, -3.0],
+                   [1e-4, -8e-5, 1.0]], np.float64)
+    p1 = np.stack([rng.uniform(5, H - 5, n), rng.uniform(5, W - 5, n)], 1)
+    xy = np.stack([p1[:, 1], p1[:, 0], np.ones(n)], 1) @ Hm.T
+    p2 = np.stack([xy[:, 1] / xy[:, 2], xy[:, 0] / xy[:, 2]], 1)
+    p2 += rng.normal(0, noise, p2.shape)
+    prob = rng.random((n, 1))
+    return (np.concatenate([p1, prob], 1).astype(np.float32),
+            np.concatenate([p2, prob], 1).astype(np.float32), Hm)
+
+
+class TestMetricsParity:
+    """update_one of each metric vs the real reference class on identical
+    inputs (yx ordering, the protocol's convention). The cv2-RANSAC-based
+    metrics pin cv2's global RNG before each call so both implementations
+    see the same hypothesis stream."""
+
+    def test_repeatability(self, rng):
+        p1, p2, Hm = _homography_scene(rng)
+        for th in (1, 3):
+            ref = RefRepeatability("R", distance_thresh=th, ordering="yx")
+            r = ref.update_one(torch.from_numpy(p1[:, :2]),
+                               torch.from_numpy(p2[:, :2]),
+                               (120, 160), (120, 160),
+                               torch.from_numpy(Hm))
+            ours = Repeatability("R", th, ordering="yx").update_one(
+                p1[:, :2], p2[:, :2], (120, 160), (120, 160), Hm)
+            np.testing.assert_allclose(ours["R"], r["R"], atol=1e-6)
+
+    def test_matching_ratio(self, rng):
+        p1, p2, _ = _homography_scene(rng)
+        ref = RefMR("MR")
+        r = ref.update_one(torch.from_numpy(p1[:40]),
+                           torch.from_numpy(p2[:40]),
+                           torch.from_numpy(p1), torch.from_numpy(p2))
+        ours = MatchingRatio("MR").update_one(p1[:40], p2[:40], p1, p2)
+        np.testing.assert_allclose(ours["MR"], r["MR"], atol=1e-8)
+
+    def test_mma(self, rng):
+        p1, p2, Hm = _homography_scene(rng, noise=1.5)
+        for th in (1, 3):
+            ref = RefMMA(f"MMA@{th}", threshold=th, ordering="yx")
+            r = ref.update_one(torch.from_numpy(p1[:, :2]),
+                               torch.from_numpy(p2[:, :2]),
+                               torch.from_numpy(Hm))
+            ours = MeanMatchingAccuracy(f"MMA@{th}", th, "yx").update_one(
+                p1[:, :2], p2[:, :2], Hm)
+            np.testing.assert_allclose(ours[f"MMA@{th}"], r[f"MMA@{th}"],
+                                       atol=1e-6)
+
+    def test_homography_estimation(self, rng):
+        p1, p2, Hm = _homography_scene(rng, n=200, noise=0.2)
+        ref = RefHE("HE", [3, 5, 10], ordering="yx")
+        cv2.setRNGSeed(7)
+        r = ref.update_one((120, 160), torch.from_numpy(p1),
+                           torch.from_numpy(p2), torch.from_numpy(Hm))
+        ours_m = HomographyEstimation("HE", [3, 5, 10], ordering="yx")
+        cv2.setRNGSeed(7)
+        o = ours_m.update_one((120, 160), p1, p2, Hm)
+        for k in r:
+            np.testing.assert_allclose(o[k], r[k], atol=1e-5, err_msg=k)
+
+    def test_rpe(self, rng):
+        from tests.test_metrics import synthetic_pose_scene
+        x0, x1, K, T, _ = synthetic_pose_scene(rng, n=200, noise=0.3)
+        # yx keypoint layout with prob column (protocol format)
+        mk0 = np.concatenate([x0[:, ::-1], rng.random((len(x0), 1))],
+                             1).astype(np.float32)
+        mk1 = np.concatenate([x1[:, ::-1], rng.random((len(x1), 1))],
+                             1).astype(np.float32)
+        ref = RefRPE("RPE", [5, 10, 20], ransac_thresh=1.0, ordering="yx")
+        cv2.setRNGSeed(3)
+        r = ref.update_one(torch.from_numpy(mk0), torch.from_numpy(mk1),
+                           torch.from_numpy(K.astype(np.float32)),
+                           torch.from_numpy(K.astype(np.float32)),
+                           torch.from_numpy(T.astype(np.float32)))
+        ours_m = RelativePoseEstimation("RPE", [5, 10, 20],
+                                        ransac_thresh=1.0, ordering="yx",
+                                        backend="opencv")
+        cv2.setRNGSeed(3)
+        o = ours_m.update_one(mk0, mk1, K, K, T)
+        for k in ("RPE_R_errs", "RPE_t_errs", "RPE_inliers"):
+            np.testing.assert_allclose(o[k], r[k], atol=1e-4, err_msg=k)
