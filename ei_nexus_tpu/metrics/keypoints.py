@@ -166,10 +166,16 @@ class ValidDescriptorsDistance:
 
                 c1, s1, a1 = side(norm, d1, d2, 1)
                 c2, s2, a2 = side(norm.T, d2, d1, 1)
+                rep = (c1 + c2) / (n1 + n2)
                 if c1 + c2 > 0:
-                    rep = (c1 + c2) / (n1 + n2)
                     vd = (s1 + s2) / (c1 + c2)
                     ang = (a1 + a2) / (c1 + c2)
+                else:
+                    # reference semantics: 0/0 -> NaN when no pair falls
+                    # within the threshold (keypoints_metrics.py:276-279);
+                    # aggregation filters non-finite values, so a 0.0 here
+                    # would wrongly drag the mean down
+                    vd = ang = float("nan")
             out[f"{self.metric_name}_Repeatability@{thr}"] = float(rep)
             out[f"{self.metric_name}_ValidDistance@{thr}"] = float(vd)
             out[f"{self.metric_name}_Angle@{thr}"] = float(ang)

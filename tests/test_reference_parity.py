@@ -1130,3 +1130,33 @@ class TestMetricsParity:
         o = ours_m.update_one(mk0, mk1, K, K, T)
         for k in ("RPE_R_errs", "RPE_t_errs", "RPE_inliers"):
             np.testing.assert_allclose(o[k], r[k], atol=1e-4, err_msg=k)
+
+    def test_vvd_identity_homography(self, rng):
+        """ValidDescriptorsDistance under the IDENTITY homography — the only
+        homography the reference protocol ever feeds it (same-time eval,
+        test_events-image_same-time.py). Under a non-identity H the
+        reference's yx branch treats (y, x) points as (x, y)
+        (keypoints_metrics.py:193-197, the inverse of Repeatability's
+        convention), which swaps the axes of BOTH the warp and the
+        in-frame filter bounds; we intentionally regularize it
+        (metrics/keypoints.py:131). The quirk cancels exactly at identity
+        homography + square frames — asserted here; on non-square frames
+        (e.g. 260x346) the reference filter compares y against the W
+        bound, a documented divergence."""
+        from core.metrics.keypoints_metrics import (
+            ValidDescriptorsDistance as RefVVD)
+        from ei_nexus_tpu.metrics import ValidDescriptorsDistance
+        p1, p2, _ = _homography_scene(rng, n=80, H=120, W=120, noise=1.0)
+        Hm = np.eye(3)
+        d1 = rng.normal(size=(80, 16)).astype(np.float32)
+        d2 = rng.normal(size=(80, 16)).astype(np.float32)
+        ref = RefVVD("VVD", [1, 3], ordering="yx")
+        r = ref.update_one(torch.from_numpy(p1[:, :2]),
+                           torch.from_numpy(p2[:, :2]),
+                           torch.from_numpy(d1), torch.from_numpy(d2),
+                           (120, 120), (120, 120), torch.from_numpy(Hm))
+        ours = ValidDescriptorsDistance("VVD", [1, 3], "yx").update_one(
+            p1[:, :2], p2[:, :2], d1, d2, (120, 120), (120, 120), Hm)
+        for k, v in r.items():
+            np.testing.assert_allclose(ours[k], float(v), atol=1e-4,
+                                       err_msg=k)
