@@ -1160,3 +1160,62 @@ class TestMetricsParity:
         for k, v in r.items():
             np.testing.assert_allclose(ours[k], float(v), atol=1e-4,
                                        err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Standalone matcher losses vs the real reference (core/loss/matcher_loss.py)
+# ---------------------------------------------------------------------------
+
+from core.loss.matcher_loss import (MNNLoss as RefMNNLoss,
+                                    NLLLoss as RefNLLLoss)
+from ei_nexus_tpu.losses.matcher_loss import mnn_loss, nll_matcher_loss
+
+
+class TestMatcherLossParity:
+    def test_mnn_loss(self, rng):
+        B, N, M = 2, 24, 30
+        d0 = rng.normal(size=(B, N, 8)).astype(np.float32)
+        d1 = rng.normal(size=(B, M, 8)).astype(np.float32)
+        d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+        d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+        sim = np.einsum("bnd,bmd->bnm", d0, d1)
+        assign = np.zeros((B, N, M), bool)
+        for b in range(B):
+            idx = rng.permutation(M)[:10]
+            assign[b, np.arange(10), idx] = True
+        ref = RefMNNLoss(weight=1.0)
+        rl, rinfo = ref({"similarity": torch.from_numpy(sim)},
+                        {"assignment": torch.from_numpy(assign)})
+        ol, oinfo = mnn_loss({"similarity": jnp.asarray(sim)},
+                             {"assignment": jnp.asarray(assign)})
+        np.testing.assert_allclose(float(ol), float(rl), rtol=1e-5)
+        np.testing.assert_allclose(float(oinfo["matcher_num_matchable"]),
+                                   rinfo["matcher_num_matchable"], atol=1e-6)
+
+    @pytest.mark.parametrize("balancing", [0.5, 0.8])
+    def test_nll_loss(self, rng, balancing):
+        # B=1: the reference's loss_info calls .item() on a (B,) tensor
+        # (matcher_loss.py:111-112) and crashes for B>1 — batch-1-only code
+        B, N, M = 1, 20, 26
+        la = np.log(rng.random((B, N + 1, M + 1)).astype(np.float32) + 1e-3)
+        gt0 = np.full((B, N), -2, np.int64)
+        gt1 = np.full((B, M), -2, np.int64)
+        assign = np.zeros((B, N, M), bool)
+        for b in range(B):
+            perm = rng.permutation(M)
+            for i in range(8):           # positives
+                gt0[b, i] = perm[i]
+                gt1[b, perm[i]] = i
+                assign[b, i, perm[i]] = True
+            gt0[b, 8:12] = -1            # unmatched side 0
+            gt1[b, perm[8:12]] = -1      # unmatched side 1
+        ref = RefNLLLoss(weight=1.0, nll_balancing=balancing)
+        rl, rinfo = ref(torch.from_numpy(la), torch.from_numpy(gt0),
+                        torch.from_numpy(gt1), torch.from_numpy(assign))
+        ol, oinfo = nll_matcher_loss(jnp.asarray(la), jnp.asarray(gt0),
+                                     jnp.asarray(gt1), jnp.asarray(assign),
+                                     nll_balancing=balancing)
+        np.testing.assert_allclose(float(ol), float(rl), rtol=1e-5)
+        for k in ("matcher_nll_positive", "matcher_nll_negtive"):
+            np.testing.assert_allclose(float(oinfo[k]), rinfo[k], rtol=1e-5,
+                                       err_msg=k)
