@@ -1219,3 +1219,78 @@ class TestMatcherLossParity:
         for k in ("matcher_nll_positive", "matcher_nll_negtive"):
             np.testing.assert_allclose(float(oinfo[k]), rinfo[k], rtol=1e-5,
                                        err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Data layer vs the real reference: event representations + pose interpolator
+# ---------------------------------------------------------------------------
+
+# "datasets" collides with the installed huggingface package (the reference
+# dir has no __init__.py), so load the reference modules by file path
+import importlib.util as _ilu
+
+
+def _load_ref(name, path):
+    spec = _ilu.spec_from_file_location(name, path)
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ref_reps = _load_ref("ref_representations",
+                     "/root/reference/datasets/representations.py")
+ref_interp = _load_ref("ref_interpolator",
+                       "/root/reference/datasets/Interpolator.py")
+RefPoseInterpolator = ref_interp.PoseInterpolator
+from ei_nexus_tpu.data import representations as our_reps
+from ei_nexus_tpu.data.interpolator import PoseInterpolator
+
+
+class TestDataLayerParity:
+    def _events(self, rng, n=6000, H=48, W=64):
+        return {
+            "x": rng.uniform(0, W - 1, n).astype(np.float64),
+            "y": rng.uniform(0, H - 1, n).astype(np.float64),
+            "t": np.sort(rng.uniform(10.0, 10.4, n)).astype(np.float64),
+            "p": rng.integers(0, 2, n).astype(np.float64),
+        }
+
+    def test_voxel_grid(self, rng):
+        H, W, bins = 48, 64, 8
+        ev = self._events(rng, H=H, W=W)
+        ref = ref_reps.events_to_voxel_grid(
+            {k: v.copy() for k, v in ev.items()}, (bins, H, W),
+            normalize=True)
+        ours = our_reps.events_to_voxel_grid(
+            jnp.asarray(ev["x"], jnp.float32), jnp.asarray(ev["y"],
+                                                           jnp.float32),
+            jnp.asarray(ev["t"], jnp.float32), jnp.asarray(ev["p"],
+                                                           jnp.float32),
+            bins=bins, height=H, width=W, normalize=True)
+        np.testing.assert_allclose(np.asarray(ours), t2n(ref), atol=2e-3)
+
+    def test_time_surface(self, rng):
+        H, W, bins = 40, 52, 6
+        ev = self._events(rng, H=H, W=W)
+        ref = ref_reps.events_to_time_surface(
+            {k: v.copy() for k, v in ev.items()}, (bins, H, W))
+        ours = our_reps.events_to_time_surface(
+            jnp.asarray(ev["x"], jnp.float32), jnp.asarray(ev["y"],
+                                                           jnp.float32),
+            jnp.asarray(ev["t"], jnp.float32), jnp.asarray(ev["p"],
+                                                           jnp.float32),
+            bins=bins, height=H, width=W)
+        np.testing.assert_allclose(np.asarray(ours), t2n(ref), atol=1e-4)
+
+    def test_pose_interpolator(self, rng):
+        from scipy.spatial.transform import Rotation
+        ts = np.linspace(0, 10, 40)
+        t_xyz = rng.normal(size=(40, 3))
+        quats = Rotation.random(40, random_state=3).as_quat()
+        ref = RefPoseInterpolator(ts, t_xyz, quats, quat_R=True)
+        ours = PoseInterpolator(ts, t_xyz,
+                                Rotation.from_quat(quats).as_matrix(),
+                                quat_R=False)
+        for q in (0.05, 3.3, 7.77, 9.99):
+            np.testing.assert_allclose(ours.interpolate(q),
+                                       ref.interpolate(q), atol=1e-9)
