@@ -1294,3 +1294,37 @@ class TestDataLayerParity:
         for q in (0.05, 3.3, 7.77, 9.99):
             np.testing.assert_allclose(ours.interpolate(q),
                                        ref.interpolate(q), atol=1e-9)
+
+
+class TestGtMatchesHomographyParity:
+    def test_homography_variant(self, rng):
+        """gt_matches_from_homography vs the real gt_generation.py:173 —
+        assignment / matches / rewards / projections on a batch of random
+        homographies (xy keypoint ordering, like the reference)."""
+        from ei_nexus_tpu.geometry import gt_matches_from_homography
+        B, N, M = 2, 48, 56
+        kp0 = rng.uniform(5, 100, (B, N, 2)).astype(np.float32)
+        kp1 = rng.uniform(5, 100, (B, M, 2)).astype(np.float32)
+        Hm = np.tile(np.array([[1.01, 0.02, 3.0], [-0.015, 0.99, -2.0],
+                               [5e-5, -4e-5, 1.0]], np.float32), (B, 1, 1))
+        # make some true correspondences so positives exist
+        xy = np.concatenate([kp0[:, :20], np.ones((B, 20, 1), np.float32)],
+                            -1) @ Hm.transpose(0, 2, 1)
+        kp1[:, :20] = xy[..., :2] / xy[..., 2:]
+
+        ref_out = ref_gtgen.gt_matches_from_homography(
+            torch.from_numpy(kp0), torch.from_numpy(kp1),
+            torch.from_numpy(Hm), pos_th=3, neg_th=6)
+        out = gt_matches_from_homography(jnp.asarray(kp0), jnp.asarray(kp1),
+                                         jnp.asarray(Hm), pos_th=3.0,
+                                         neg_th=6.0)
+        np.testing.assert_array_equal(np.asarray(out["assignment"]),
+                                      t2n(ref_out["assignment"]))
+        np.testing.assert_array_equal(np.asarray(out["matches0"]),
+                                      t2n(ref_out["matches0"]))
+        np.testing.assert_array_equal(np.asarray(out["matches1"]),
+                                      t2n(ref_out["matches1"]))
+        np.testing.assert_allclose(np.asarray(out["reward"]),
+                                   t2n(ref_out["reward"]), atol=0)
+        np.testing.assert_allclose(np.asarray(out["proj_0to1"]),
+                                   t2n(ref_out["proj_0to1"]), atol=1e-3)
