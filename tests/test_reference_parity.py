@@ -1328,3 +1328,33 @@ class TestGtMatchesHomographyParity:
                                    t2n(ref_out["reward"]), atol=0)
         np.testing.assert_allclose(np.asarray(out["proj_0to1"]),
                                    t2n(ref_out["proj_0to1"]), atol=1e-3)
+
+
+class TestPadderParity:
+    def test_pad_unpad_and_positions(self, rng):
+        """ops/pad.Padder vs the reference Padder (core/modules/utils/
+        util.py:5): replicate padding split top/bottom+left/right, bool
+        constant padding, map unpad, position shift."""
+        from core.modules.utils.util import Padder as RefPadder
+        from ei_nexus_tpu.ops.pad import Padder
+        B, H, W, cell = 2, 37, 51, 8
+        x = rng.normal(size=(B, 1, H, W)).astype(np.float32)
+        m = rng.random((B, 1, H, W)) > 0.5
+        ref = RefPadder((B, 1, H, W), cell)
+        rx, rm = ref.pad(torch.from_numpy(x), torch.from_numpy(m))
+        ours = Padder(H, W, cell)
+        ox = ours.pad(jnp.asarray(x.transpose(0, 2, 3, 1)))
+        om = ours.pad(jnp.asarray(m[:, 0]), hw_axes=(-2, -1))
+        np.testing.assert_allclose(nchw(ox), t2n(rx), atol=0)
+        np.testing.assert_array_equal(np.asarray(om), t2n(rm.squeeze(1)))
+        # unpad round trip
+        np.testing.assert_allclose(
+            nchw(ours.unpad(ox)), t2n(ref.unpad(rx)[0]), atol=0)
+        # sparse position shift (yx)
+        pos = rng.uniform(0, min(H, W), (B, 5, 3)).astype(np.float32)
+        ref_pos = ref.unpad_positions([torch.from_numpy(p) for p in pos],
+                                      ordering="yx")
+        our_pos = ours.unpad_positions(jnp.asarray(pos), "yx")
+        for b in range(B):
+            np.testing.assert_allclose(np.asarray(our_pos[b])[:, :2],
+                                       t2n(ref_pos[b])[:, :2], atol=1e-6)
