@@ -1358,3 +1358,49 @@ class TestPadderParity:
         for b in range(B):
             np.testing.assert_allclose(np.asarray(our_pos[b])[:, :2],
                                        t2n(ref_pos[b])[:, :2], atol=1e-6)
+
+
+class TestCameraWrapperParity:
+    def test_project_distort_roundtrip(self, rng):
+        """Camera (8-param pinhole + radial-tangential distortion) vs the
+        reference TensorWrapper Camera (wrappers.py:238): project, distort,
+        cam2image, image2cam, in_image on shared 3D points."""
+        from ei_nexus_tpu.geometry import Camera
+        B, N = 2, 64
+        # [w h fx fy cx cy k1 k2]
+        data = np.tile(np.array(
+            [160., 120., 140., 138., 80., 60., -0.12, 0.03], np.float32),
+            (B, 1))
+        p3d = np.stack([rng.uniform(-0.5, 0.5, (B, N)),
+                        rng.uniform(-0.4, 0.4, (B, N)),
+                        rng.uniform(0.8, 3.0, (B, N))], -1).astype(np.float32)
+        ref_cam = RefCamera(torch.from_numpy(data))
+        cam = Camera(size=jnp.asarray(data[:, 0:2]),
+                     f=jnp.asarray(data[:, 2:4]),
+                     c=jnp.asarray(data[:, 4:6]),
+                     dist=jnp.concatenate(
+                         [jnp.asarray(data[:, 6:8]),
+                          jnp.zeros((data.shape[0], 2), jnp.float32)], -1))
+
+        rp, rvis = ref_cam.project(torch.from_numpy(p3d))
+        op, ovis = cam.project(jnp.asarray(p3d))
+        np.testing.assert_allclose(np.asarray(op), t2n(rp), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ovis), t2n(rvis))
+
+        rd, rdvalid = ref_cam.distort(rp)
+        od, odvalid = cam.distort(op)
+        np.testing.assert_allclose(np.asarray(od), t2n(rd), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(odvalid), t2n(rdvalid))
+
+        rimg, rv = ref_cam.cam2image(torch.from_numpy(p3d))
+        oimg, ov = cam.cam2image(jnp.asarray(p3d))
+        np.testing.assert_allclose(np.asarray(oimg), t2n(rimg), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(ov), t2n(rv))
+
+        rback = ref_cam.image2cam(rimg)
+        oback = cam.image2cam(oimg)
+        np.testing.assert_allclose(np.asarray(oback), t2n(rback), atol=1e-5)
+
+        rin = ref_cam.in_image(rimg)
+        oin = cam.in_image(oimg)
+        np.testing.assert_array_equal(np.asarray(oin), t2n(rin))
