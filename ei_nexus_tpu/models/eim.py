@@ -229,8 +229,14 @@ class ImageImageMatcher(nn.Module):
 
 
 def build_model(model_type: str, config: EIMConfig) -> nn.Module:
-    """Name -> module dispatch (reference core/modules/__init__.py:5)."""
-    if model_type == "EIM":
+    """Name -> module dispatch (reference core/modules/__init__.py:5).
+
+    "EDM" is accepted as EIM: the reference's own stage-2 model config is
+    named EDM (configs/model/EIM_stage2.yaml:1) yet its factory rejects it
+    — its trainers construct EIM directly and never consult the name. Here
+    every entry point dispatches through this factory, so the stage-2 name
+    must resolve."""
+    if model_type in ("EIM", "EDM"):
         return EIM(config=config)
     if model_type == "ImageImageMatcher":
         return ImageImageMatcher(config=config)
