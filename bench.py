@@ -100,9 +100,13 @@ def main():
                 m0 = m["matches0"]
                 sel = m0 > -1
                 idx = jnp.clip(m0, 0, m0.shape[-1] - 1)
-                p0 = f0["sparse_positions"][..., :2][..., ::-1]
+                # match indices address the matcher's padded slot space
+                # (can exceed the extractor K, e.g. SiLK 512 in 1024 slots)
+                mf0 = m.get("input_feats0", f0)
+                mf1 = m.get("input_feats1", f1)
+                p0 = mf0["sparse_positions"][..., :2][..., ::-1]
                 p1 = jnp.take_along_axis(
-                    f1["sparse_positions"][..., :2][..., ::-1],
+                    mf1["sparse_positions"][..., :2][..., ::-1],
                     idx[..., None], axis=1)
                 p0n = (p0 - cc) / ff
                 p1n = (p1 - cc) / ff

@@ -456,15 +456,16 @@ class LightGlue(nn.Module):
             # tensor-parallel heads need XLA's partitionable einsums
             attn_impl = "xla"
         elif training:
-            # pallas has a differentiable path (custom-vjp kernels); use it
-            # on a single device — under a multi-device mesh the GSPMD
-            # partitioner cannot split a pallas_call, so training at scale
-            # keeps XLA. flash is forward-only. EI_NEXUS_ATTN_TRAIN=xla
-            # restores the XLA training path.
+            # pallas has a differentiable path (custom-vjp kernels,
+            # gradient-exact vs XLA autodiff on CPU) but its backward has
+            # not yet compiled on the target TPU — opt in with
+            # EI_NEXUS_ATTN_TRAIN=pallas (single device only: GSPMD cannot
+            # partition a pallas_call). Default stays XLA until an
+            # on-target compile is recorded. flash is forward-only.
             import os
             attn_impl = ("pallas_vjp"
-                         if impl == "pallas" and jax.device_count() == 1
-                         and os.environ.get("EI_NEXUS_ATTN_TRAIN") != "xla"
+                         if os.environ.get("EI_NEXUS_ATTN_TRAIN") == "pallas"
+                         and impl == "pallas" and jax.device_count() == 1
                          else "xla")
         else:
             attn_impl = impl
@@ -510,6 +511,17 @@ class LightGlue(nn.Module):
         if mask1 is not None:
             m1 = jnp.where(mask1, m1, -1)
             ms1 = jnp.where(mask1, ms1, 0.0)
+        # a valid query must not match an INVALID key slot (the assignment
+        # head sees unmasked padded descriptors, so its argmax can land on
+        # one; the reference never pads at eval — batch-1 ragged loop)
+        if mask1 is not None:
+            tgt_ok0 = jnp.take_along_axis(mask1, jnp.maximum(m0, 0), axis=1)
+            m0 = jnp.where(tgt_ok0, m0, -1)
+            ms0 = jnp.where(tgt_ok0, ms0, 0.0)
+        if mask0 is not None:
+            tgt_ok1 = jnp.take_along_axis(mask0, jnp.maximum(m1, 0), axis=1)
+            m1 = jnp.where(tgt_ok1, m1, -1)
+            ms1 = jnp.where(tgt_ok1, ms1, 0.0)
 
         out = {
             "matches0": m0,

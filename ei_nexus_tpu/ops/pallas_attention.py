@@ -95,22 +95,6 @@ def _row_softmax(s):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _self_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, heads):
-    bias = b_ref[0, 0]                    # (N,) key-side additive bias
-    # all heads of one batch item per grid step: fewer, fatter invocations
-    # pipeline far better than one (b, h) problem per step
-    for hh in range(heads):
-        q = q_ref[0, hh]                  # (N, d)
-        k = k_ref[0, hh]
-        v = v_ref[0, hh]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = _row_softmax(s + bias[None, :]).astype(v.dtype)
-        o_ref[0, hh] = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
-
-
 @functools.partial(jax.jit, static_argnames=("interpret", "block_q"))
 def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    kv_mask: Optional[jax.Array] = None,
@@ -132,20 +116,7 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if block_q and N % block_q == 0:
         return _qblock_attention(q, k, v, bias, d ** -0.5, block_q,
                                  interpret)
-    spec = pl.BlockSpec((1, h, N, d), lambda b: (b, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, 1, N), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_self_kernel, scale=d ** -0.5, heads=h),
-        grid=(B,),
-        in_specs=[spec, spec, spec, bspec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
-        interpret=interpret,
-    )(q, k, v, bias)
+    return _whole_attention(q, k, v, bias, d ** -0.5, interpret)
 
 
 def _cross_kernel(qk0_ref, qk1_ref, v0_ref, v1_ref, b0_ref, b1_ref,
