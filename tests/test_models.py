@@ -323,6 +323,31 @@ class TestLightGlue:
         out = model.apply(variables, f0m, f1)
         assert (np.asarray(out["matches0"])[0, :5] == -1).all()
 
+    def test_no_match_targets_invalid_slots(self, rng):
+        """A valid query must never match an INVALID key slot: the
+        assignment head sees unmasked padded descriptors, so its argmax
+        can land on one without the post-filter target-validity mask.
+        Property-tested over several inits/masks in both directions."""
+        cfg = LightGlueConfig(input_dim=64, descriptor_dim=64, n_layers=2,
+                              num_heads=4)
+        model = LightGlue(config=cfg)
+        for seed in range(3):
+            f0 = self._feats(rng)
+            f1 = self._feats(rng)
+            v0 = rng.uniform(size=(1, 32)) > 0.4
+            v1 = rng.uniform(size=(1, 32)) > 0.4
+            f0m = dict(f0, sparse_valid=jnp.asarray(v0))
+            f1m = dict(f1, sparse_valid=jnp.asarray(v1))
+            variables = model.init(jax.random.PRNGKey(seed), f0m, f1m)
+            out = model.apply(variables, f0m, f1m)
+            m0 = np.asarray(out["matches0"])[0]
+            m1 = np.asarray(out["matches1"])[0]
+            assert all(m == -1 or v1[0, m] for m in m0)
+            assert all(m == -1 or v0[0, m] for m in m1)
+            # scores of invalidated matches are zeroed
+            ms0 = np.asarray(out["matching_scores0"])[0]
+            assert (ms0[m0 == -1] == 0).all()
+
     def test_torch_weight_port_shapes(self, rng):
         """Round-trip: build torch-like state dict with correct shapes and
         port; forward must run."""
