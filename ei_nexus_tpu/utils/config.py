@@ -118,11 +118,29 @@ def load_config(path: str, overrides: Optional[Sequence[str]] = None
 
     `defaults:` entries are either `group: name` mappings (resolved to
     <config_dir>/<group>/<name>.yaml, merged under key <group>) or `_self_`.
+
+    Hydra-class GROUP overrides are supported on the CLI: an override
+    `group=name` whose key is a top-level defaults group and for which
+    <config_dir>/<group>/<name>.yaml exists RE-SELECTS that group file
+    (replacing the composed group contents), e.g. `model=SiLKMatcher`.
+    Dotted `key=value` overrides apply afterwards as plain value edits.
     """
     path = os.path.abspath(path)
     cfg_dir = os.path.dirname(path)
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
+
+    # split hydra-style group re-selections from plain dotlist overrides
+    group_sel: Dict[str, str] = {}
+    dot_overrides = []
+    for ov in overrides or []:
+        key, _, val = ov.partition("=")
+        if ("." not in key
+                and os.path.isfile(os.path.join(cfg_dir, key,
+                                                f"{val}.yaml"))):
+            group_sel[key] = val
+        else:
+            dot_overrides.append(ov)
 
     cfg: Dict[str, Any] = {}
     defaults = raw.pop("defaults", [])
@@ -137,14 +155,20 @@ def load_config(path: str, overrides: Optional[Sequence[str]] = None
                 deep_merge(cfg, yaml.safe_load(f) or {})
             continue
         for group, name in entry.items():
+            name = group_sel.pop(group, name)
             sub_path = os.path.join(cfg_dir, group, f"{name}.yaml")
             with open(sub_path) as f:
                 sub = yaml.safe_load(f) or {}
-            deep_merge(cfg.setdefault(group, {}), sub)
+            cfg[group] = {}  # group re-selection replaces, never merges
+            deep_merge(cfg[group], sub)
+    # group overrides naming groups absent from defaults: load them fresh
+    for group, name in group_sel.items():
+        with open(os.path.join(cfg_dir, group, f"{name}.yaml")) as f:
+            cfg[group] = yaml.safe_load(f) or {}
     deep_merge(cfg, raw)  # root file wins unless _self_ placed earlier
 
-    if overrides:
-        apply_overrides(cfg, overrides)
+    if dot_overrides:
+        apply_overrides(cfg, dot_overrides)
     return Config(_resolve_interpolations(cfg))
 
 

@@ -143,6 +143,26 @@ class TestConfigSystem:
                                                 "new.key=2.5"])
         assert cfg.a.b == 5 and cfg.c == "world" and cfg.new.key == 2.5
 
+    def test_group_override(self, tmp_path):
+        """Hydra-class CLI group re-selection: `group=name` replaces the
+        composed group file when <dir>/<group>/<name>.yaml exists; a
+        plain `key=value` whose key is not a group stays a dotlist edit."""
+        (tmp_path / "model").mkdir()
+        (tmp_path / "model" / "m1.yaml").write_text("name: m1\nwidth: 8\n")
+        (tmp_path / "model" / "m2.yaml").write_text("name: m2\ndepth: 3\n")
+        root = tmp_path / "exp.yaml"
+        root.write_text("defaults:\n  - model: m1\nexperiment: e\n")
+        cfg = load_config(str(root), overrides=["model=m2"])
+        assert cfg.model.name == "m2" and cfg.model.depth == 3
+        assert "width" not in cfg.model.to_dict()  # replaced, not merged
+        # non-group '=' override still works
+        cfg = load_config(str(root), overrides=["model=m2",
+                                                "model.depth=9"])
+        assert cfg.model.depth == 9
+        # value matching no group file: plain override (replaces node)
+        cfg = load_config(str(root), overrides=["experiment=zzz"])
+        assert cfg.experiment == "zzz"
+
     def test_save_roundtrip(self, tmp_path):
         cfg = Config({"a": {"b": [1, 2]}, "c": "x"})
         save_config(cfg, str(tmp_path / "out.yaml"))
