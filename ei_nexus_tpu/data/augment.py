@@ -155,12 +155,20 @@ class PairAugmentationEvents:
         self.rotate_angle = rotate_angle
         self.rng = rng or np.random.default_rng()
 
-    def __call__(self, sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def __call__(self, sample: Dict[str, np.ndarray],
+                 rng: Optional[np.random.Generator] = None
+                 ) -> Dict[str, np.ndarray]:
         """sample: view dict with events_x/y (padded), events_valid, image
         (H, W, 1) [+ depth/depth_mask]. Returns a new dict with the crop's
-        resolution."""
+        resolution.
+
+        rng: per-sample generator (pass one derived from (seed, epoch,
+        index) for thread-safe, preemption-reproducible augmentation —
+        the shared self.rng fallback is NOT deterministic under
+        multi-threaded loading).
+        """
         import cv2
-        rng = self.rng
+        rng = rng if rng is not None else self.rng
         out = dict(sample)
         H, W = sample["image"].shape[:2]
         x = sample["events_x"].copy()

@@ -143,7 +143,8 @@ class ECPairDataset:
         self.event_dt = event_dt
         self.max_events = max_events
         self.mode = mode
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         if mode == "index_pairs":
             assert index_files is not None
             self.pair_indices = [np.loadtxt(p).astype(np.int64).reshape(-1, 2)
@@ -155,6 +156,14 @@ class ECPairDataset:
 
     def __len__(self):
         return int(self.lengths.sum())
+
+    def set_epoch(self, epoch: int):
+        """See MVSECPairDataset.set_epoch: (seed, epoch, index)-keyed
+        per-sample randomness."""
+        self.epoch = epoch
+
+    def _sample_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng([self.seed, self.epoch, index])
 
     def __getitem__(self, index: int):
         seq_idx = int(np.searchsorted(self.cum, index, side="right"))
@@ -169,7 +178,7 @@ class ECPairDataset:
             if self.augment is not None:
                 # pair aug only on same-time training views (reference
                 # EC.py:295-300 augment_pair=True path)
-                data0 = self.augment(data0)
+                data0 = self.augment(data0, rng=self._sample_rng(index))
             return (data0, data0, np.eye(4, dtype=np.float32),
                     np.eye(4, dtype=np.float32))
         data1 = seq.view(int(i1), self.event_dt, self.max_events)

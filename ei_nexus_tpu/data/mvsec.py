@@ -224,7 +224,8 @@ class MVSECPairDataset:
         self.max_events = max_events
         self.mode = mode
         self.augment = augment
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
 
         if mode == "index_pairs":
             assert index_files is not None and \
@@ -238,6 +239,16 @@ class MVSECPairDataset:
 
     def __len__(self):
         return int(self.lengths.sum())
+
+    def set_epoch(self, epoch: int):
+        """Keyed by the DataLoader each epoch: per-sample randomness is a
+        pure function of (seed, epoch, index) — thread-safe and exactly
+        reproducible across preemption/resume (no generator state to
+        checkpoint)."""
+        self.epoch = epoch
+
+    def _sample_rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng([self.seed, self.epoch, index])
 
     def _locate(self, index: int) -> Tuple[int, int]:
         seq_idx = int(np.searchsorted(self.cum, index, side="right"))
@@ -253,7 +264,7 @@ class MVSECPairDataset:
         elif self.mode == "random_pair":
             i0 = local
             hi = min(local + 60, len(seq))
-            i1 = int(self.rng.integers(local, hi))
+            i1 = int(self._sample_rng(index).integers(local, hi))
         else:
             i0 = i1 = local
         data0 = seq.view(int(i0), self.event_dt, self.max_events)
@@ -261,7 +272,7 @@ class MVSECPairDataset:
             if self.augment is not None:
                 # pair augmentation applies only to same-time training
                 # views (reference augment_pair=True path)
-                data0 = self.augment(data0)
+                data0 = self.augment(data0, rng=self._sample_rng(index))
             data1 = data0
             T01 = np.eye(4, dtype=np.float32)
             T10 = np.eye(4, dtype=np.float32)

@@ -65,9 +65,21 @@ class DataLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.epoch = 0
+        self.skip_batches = 0
 
-    def set_epoch(self, epoch: int):
+    def set_epoch(self, epoch: int, skip_batches: int = 0):
+        """Position the loader at `epoch`, optionally starting mid-epoch.
+
+        skip_batches: number of leading LOCAL batches of this epoch to skip
+        — exact mid-epoch resume after preemption (the permutation is a
+        pure function of seed+epoch, so skipping k batches reproduces the
+        uninterrupted stream from step k). Reset to 0 by the next
+        set_epoch call.
+        """
         self.epoch = epoch
+        self.skip_batches = skip_batches
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -96,8 +108,10 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        skip = self.skip_batches
+
         def produce_batches(fetch_many):
-            for b in range(n_local):
+            for b in range(skip, n_local):
                 if stop.is_set():
                     return
                 batch_idx = indices[b * self.local_batch:

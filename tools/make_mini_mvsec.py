@@ -215,12 +215,22 @@ def main():
     ap.add_argument("--train-frames", type=int, default=220)
     ap.add_argument("--val-frames", type=int, default=120)
     ap.add_argument("--pair-gap", type=int, default=8)
+    ap.add_argument("--sequences", default=None,
+                    help="comma-separated subset (e.g. indoor_flying1) — "
+                         "used by tests to generate a minimal fixture")
     args = ap.parse_args()
 
     from ei_nexus_tpu.data.mvsec import SEQUENCE_CROPS
 
+    # indoor_flying4 + outdoor_day1 are the STOCK two-sequence RPE protocol
+    # (data/mvsec.py VAL_SEQUENCES; reference datasets/MVSEC.py:1016) — both
+    # must exist for test_events_image_different_time.py to run verbatim
     specs = [("indoor_flying", "indoor_flying1", args.train_frames, 0.0, 10),
-             ("indoor_flying", "indoor_flying4", args.val_frames, 2.1, 40)]
+             ("indoor_flying", "indoor_flying4", args.val_frames, 2.1, 40),
+             ("outdoor_day", "outdoor_day1", args.val_frames, 4.2, 70)]
+    if args.sequences:
+        keep = set(args.sequences.split(","))
+        specs = [sp for sp in specs if sp[1] in keep]
     for scene, seq, n_frames, phase, seed in specs:
         n_ev, frame_ts = gen_sequence(args.root, scene, seq, n_frames,
                                       phase, seed)
@@ -234,7 +244,8 @@ def main():
                    pairs, fmt="%d")
         print(f"{seq}: {len(pairs)} RPE pairs over {n_cropped} cropped"
               " frames")
-    write_calib(args.root, "indoor_flying")
+    for scene in sorted({sp[0] for sp in specs}):
+        write_calib(args.root, scene)
 
 
 if __name__ == "__main__":

@@ -149,9 +149,19 @@ def main(argv=None):
                if host_lr else None)
     state = create_train_state(model, variables, tx)
     start_epoch = 0
+    resume_skip = 0
     if args.resume:
         state, start_epoch = restore_checkpoint(args.resume, state)
-        logger.log_info(f"resumed from {args.resume} @ epoch {start_epoch}")
+        # exact mid-epoch resume: the optimizer step count positions the
+        # stream inside the (deterministic, seed+epoch-keyed) epoch
+        # permutation; a preempted checkpoint resumes at the exact batch
+        # where SIGTERM landed, reproducing the uninterrupted trajectory
+        steps_per_epoch = max(len(loader), 1)
+        resume_skip = max(0, int(state.step) - start_epoch * steps_per_epoch)
+        start_epoch += resume_skip // steps_per_epoch
+        resume_skip %= steps_per_epoch
+        logger.log_info(f"resumed from {args.resume} @ epoch {start_epoch}"
+                        + (f" batch {resume_skip}" if resume_skip else ""))
         if plateau is not None:
             import json
             sidecar = os.path.join(args.resume, "plateau.json")
@@ -172,7 +182,8 @@ def main(argv=None):
     epochs = tcfg["epochs"]
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, epochs):
-            loader.set_epoch(epoch)
+            loader.set_epoch(epoch,
+                             resume_skip if epoch == start_epoch else 0)
             t_epoch = time.time()
             epoch_losses = []
             for batch in loader:
@@ -192,15 +203,18 @@ def main(argv=None):
                     break
             logger.log_info(
                 f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
-            if plateau is not None and epoch_losses:
+            if plateau is not None and epoch_losses \
+                    and not shutdown.requested:
                 # monitored metric = epoch-mean train loss (the reference
                 # calls scheduler.step() argless, which torch's plateau
-                # scheduler rejects — this path is strictly more usable)
+                # scheduler rejects — this path is strictly more usable).
+                # Skipped on preemption: the epoch is partial, and resume
+                # replays the remaining batches before the plateau step.
                 new_lr = plateau.step(float(np.mean(epoch_losses)))
                 state = state.replace(opt_state=set_learning_rate(
                     state.opt_state, new_lr))
                 logger.log_info(f"plateau lr -> {new_lr:.2e}")
-            if jax.process_index() == 0 and (
+            if jax.process_index() == 0 and not shutdown.requested and (
                     (epoch + 1) % tcfg.get("checkpoint_freq", 5) == 0):
                 path = save_checkpoint(
                     os.path.join(logger.run_dir, "checkpoints"), state,

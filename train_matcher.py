@@ -123,8 +123,15 @@ def main(argv=None):
                if host_lr else None)
     state = create_train_state(model, variables, tx)
     start_epoch = 0
+    resume_skip = 0
     if args.resume:
         state, start_epoch = restore_checkpoint(args.resume, state)
+        # exact mid-epoch resume (see train_extractor.py): position the
+        # deterministic epoch stream at the preempted batch
+        steps_per_epoch = max(len(loader), 1)
+        resume_skip = max(0, int(state.step) - start_epoch * steps_per_epoch)
+        start_epoch += resume_skip // steps_per_epoch
+        resume_skip %= steps_per_epoch
         if plateau is not None:
             import json
             sidecar = os.path.join(args.resume, "plateau.json")
@@ -147,7 +154,8 @@ def main(argv=None):
     epochs = tcfg["epochs"]
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, epochs):
-            loader.set_epoch(epoch)
+            loader.set_epoch(epoch,
+                             resume_skip if epoch == start_epoch else 0)
             t0 = time.time()
             epoch_losses = []
             for batch in loader:
@@ -166,12 +174,13 @@ def main(argv=None):
                         args.max_steps and global_step >= args.max_steps):
                     break
             logger.log_info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
-            if plateau is not None and epoch_losses:
+            if plateau is not None and epoch_losses \
+                    and not shutdown.requested:
                 new_lr = plateau.step(float(np.mean(epoch_losses)))
                 state = state.replace(opt_state=set_learning_rate(
                     state.opt_state, new_lr))
                 logger.log_info(f"plateau lr -> {new_lr:.2e}")
-            if jax.process_index() == 0 and (
+            if jax.process_index() == 0 and not shutdown.requested and (
                     (epoch + 1) % tcfg.get("checkpoint_freq", 5) == 0):
                 path = save_checkpoint(
                     os.path.join(logger.run_dir, "checkpoints"), state,
