@@ -88,6 +88,9 @@ def eim_config_from_dict(model_cfg: Mapping[str, Any]) -> EIMConfig:
             filter_threshold=lg.get("filter_threshold", 0.0),
             gamma=lg.get("loss", {}).get("gamma", 1.0),
             nll_balancing=lg.get("loss", {}).get("nll_balancing", 0.5),
+            # adaptive inference (reference lightglue.py:431-432)
+            depth_confidence=lg.get("depth_confidence", -1.0),
+            width_confidence=lg.get("width_confidence", -1.0),
         ),
     )
     return EIMConfig(

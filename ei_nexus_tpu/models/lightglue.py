@@ -60,6 +60,17 @@ class LightGlueConfig:
                                  # one compiled layer body instead of nine
                                  # (param tree gains a leading layer axis;
                                  # see stack_lightglue_params)
+    # Adaptive inference (reference lightglue.py:431-432, its early-exit /
+    # point-pruning blocks are commented out at :606-672 — this is the
+    # static-shape TPU formulation; -1 disables, reference defaults when
+    # enabled are 0.95 / 0.99). Inference-only; requires scan_layers=False.
+    depth_confidence: float = -1.0  # early exit when this fraction of
+                                    # tokens is confident (batch-global:
+                                    # every pair in the batch must pass —
+                                    # lax.cond needs a scalar predicate)
+    width_confidence: float = -1.0  # prune tokens that are confident AND
+                                    # unmatchable via the validity masks
+                                    # (static shapes: masked, not gathered)
 
 
 def normalize_keypoints(kpts: jax.Array, size: jax.Array) -> jax.Array:
@@ -373,16 +384,26 @@ def sigmoid_log_double_softmax(sim, z0, z1) -> jax.Array:
 
 class MatchAssignment(nn.Module):
     """Shared final projection + matchability head
-    (reference MatchAssignment, lightglue.py:380)."""
+    (reference MatchAssignment, lightglue.py:380).
+
+    mask0/mask1 (adaptive-inference path only): surviving-token masks;
+    the similarity is biased to -1e9 outside their outer product so both
+    log_softmax normalizations run over surviving slots only — the
+    static-shape equivalent of the reference's index_select row removal
+    (pruned rows/cols of the output are garbage and masked downstream).
+    """
 
     dim: int
 
     @nn.compact
-    def __call__(self, desc0, desc1):
+    def __call__(self, desc0, desc1, mask0=None, mask1=None):
         final_proj = nn.Dense(self.dim, name="final_proj")
         mdesc0 = final_proj(desc0) / self.dim ** 0.25
         mdesc1 = final_proj(desc1) / self.dim ** 0.25
         sim = jnp.einsum("bmd,bnd->bmn", mdesc0, mdesc1)
+        if mask0 is not None and mask1 is not None:
+            joint = mask0[:, :, None] & mask1[:, None, :]
+            sim = jnp.where(joint, sim, jnp.asarray(_MASK_BIAS, sim.dtype))
         matchability = nn.Dense(1, name="matchability")
         scores = sigmoid_log_double_softmax(
             sim, matchability(desc0), matchability(desc1))
@@ -470,10 +491,22 @@ class LightGlue(nn.Module):
         else:
             attn_impl = impl
 
+        adaptive = ((cfg.depth_confidence > 0 or cfg.width_confidence > 0)
+                    and not training and not cfg.scan_layers)
+        # adaptive-init: run the plain loop but create EVERY per-layer head
+        # and token-confidence param (the adaptive apply path reads them
+        # all; training checkpoints already contain them)
+        adaptive_init = adaptive and self.is_initializing()
+
         all_scores = []
         conf_logits0, conf_logits1 = [], []
         scores = sim = None
-        if cfg.scan_layers:
+        exit_layer = None
+        if adaptive and not adaptive_init:
+            scores, sim, mask0, mask1, exit_layer = self._adaptive_layers(
+                desc0, desc1, enc0, enc1, mask0, mask1, compute_dtype,
+                attn_impl)
+        elif cfg.scan_layers:
             scores, sim, extras = self._scanned_layers(
                 desc0, desc1, enc0, enc1, mask0, mask1, compute_dtype,
                 attn_impl, training)
@@ -491,7 +524,7 @@ class LightGlue(nn.Module):
                                        name=f"log_assignment_{i}")
                 d0f = desc0.astype(jnp.float32)
                 d1f = desc1.astype(jnp.float32)
-                if training:
+                if training or adaptive_init:
                     scores, sim = head(d0f, d1f)
                     all_scores.append(scores)
                 elif i == cfg.n_layers - 1:
@@ -503,6 +536,8 @@ class LightGlue(nn.Module):
                             token(jax.lax.stop_gradient(d0f))[..., 0])
                         conf_logits1.append(
                             token(jax.lax.stop_gradient(d1f))[..., 0])
+                    elif adaptive_init:
+                        token(d0f)
 
         m0, m1, ms0, ms1 = filter_matches(scores, cfg.filter_threshold)
         if mask0 is not None:
@@ -531,6 +566,14 @@ class LightGlue(nn.Module):
             "similarity": sim,
             "log_assignment": scores,
         }
+        if exit_layer is not None:
+            # adaptive diagnostics: 0-based layer the batch exited at and
+            # the surviving-token masks after width pruning
+            out["exit_layer"] = exit_layer
+            out["surviving0"] = (mask0 if mask0 is not None
+                                 else jnp.ones(m0.shape, bool))
+            out["surviving1"] = (mask1 if mask1 is not None
+                                 else jnp.ones(m1.shape, bool))
         if training:
             # (B, L, N+1, M+1) per-layer assignments for deep supervision
             if cfg.scan_layers:
@@ -542,6 +585,122 @@ class LightGlue(nn.Module):
                 out["confidence_logits0"] = jnp.stack(conf_logits0, axis=1)
                 out["confidence_logits1"] = jnp.stack(conf_logits1, axis=1)
         return out
+
+    def _adaptive_layers(self, desc0, desc1, enc0, enc1, mask0, mask1,
+                         compute_dtype, attn_impl):
+        """Early exit + point pruning with STATIC shapes (inference only).
+
+        Reference semantics (lightglue.py:606-672 commented out; helpers
+        :718-743 live): after layer i, token confidences decide (a) whether
+        to stop — ratio of confident tokens > depth_confidence — and
+        (b) which tokens to prune — confident AND matchability below
+        1 - width_confidence.  TPU formulation:
+
+         - layers after the exit point are SKIPPED at runtime via
+           `lax.cond` with a batch-global scalar predicate (every pair in
+           the batch must pass the stop check; the reference asserts b==1);
+         - pruning folds into the validity masks consumed by the attention
+           bias and the masked assignment head, instead of gather/scatter
+           row removal — shapes never change, the pruned tokens simply
+           stop participating (and are force-unmatched downstream);
+         - the per-layer modules are applied DETACHED (`Module.apply` on
+           `self.variables` subtrees) so a `lax.cond` can skip them; the
+           params were created by the adaptive-init pass / training.
+
+        Returns (scores, sim, mask0', mask1', exit_layer)."""
+        cfg = self.config
+        L = cfg.n_layers
+        do_stop = cfg.depth_confidence > 0
+        do_prune = cfg.width_confidence > 0
+        params = self.variables["params"]
+        B, N = desc0.shape[:2]
+        M = desc1.shape[1]
+        # pruning masks (p*) are tracked separately from base validity: the
+        # assignment head must renormalize over pruned-out slots only, NOT
+        # over padded slots — the plain forward feeds padded slots through
+        # the head unmasked (post-filtered), and adaptive-off must equal it
+        # bit-for-bit
+        p0 = jnp.ones((B, N), bool)
+        p1 = jnp.ones((B, M), bool)
+        a0 = (mask0 if mask0 is not None else jnp.ones((B, N), bool))
+        a1 = (mask1 if mask1 is not None else jnp.ones((B, M), bool))
+
+        def layer_apply(i, op):
+            d0, d1, a0, a1 = op
+            mod = TransformerLayer(
+                cfg.descriptor_dim, cfg.num_heads, dtype=compute_dtype,
+                shard_heads=False, attn_impl=attn_impl,
+                score_dtype=jnp.dtype(cfg.score_dtype))
+            return mod.apply({"params": params[f"transformers_{i}"]},
+                             d0, d1, enc0, enc1, a0, a1)
+
+        def head_apply(i, d0, d1, p0, p1):
+            mod = MatchAssignment(cfg.descriptor_dim)
+            return mod.apply({"params": params[f"log_assignment_{i}"]},
+                             d0.astype(jnp.float32), d1.astype(jnp.float32),
+                             p0 if do_prune else None,
+                             p1 if do_prune else None)
+
+        def token_conf(i, d):
+            w = params[f"token_confidence_{i}"]
+            logits = nn.Dense(1).apply({"params": w},
+                                       d.astype(jnp.float32))[..., 0]
+            return jax.nn.sigmoid(logits)
+
+        def matchability(i, d):
+            w = params[f"log_assignment_{i}"]["matchability"]
+            logits = nn.Dense(1).apply({"params": w},
+                                       d.astype(jnp.float32))[..., 0]
+            return jax.nn.sigmoid(logits)
+
+        done = jnp.asarray(False)
+        scores = jnp.zeros((B, N + 1, M + 1), jnp.float32)
+        sim = jnp.zeros((B, N, M), jnp.float32)
+        exit_layer = jnp.asarray(L - 1, jnp.int32)
+
+        for i in range(L):
+            desc0, desc1 = jax.lax.cond(
+                done, lambda op: (op[0], op[1]),
+                lambda op: layer_apply(i, op), (desc0, desc1, a0, a1))
+            last = i == L - 1
+            if not last and (do_stop or do_prune):
+                conf0 = token_conf(i, desc0)
+                conf1 = token_conf(i, desc1)
+                # scaled threshold, reference lightglue.py:718-721
+                th = float(np.clip(0.8 + 0.1 * np.exp(-4.0 * i / L), 0, 1))
+            if not last and do_stop:
+                # stop check over valid+surviving tokens of both sides
+                # (reference :732-743 counts all tokens; it never pads)
+                low = (jnp.sum((conf0 < th) & a0, axis=1)
+                       + jnp.sum((conf1 < th) & a1, axis=1))
+                num = jnp.maximum(jnp.sum(a0, 1) + jnp.sum(a1, 1), 1)
+                ratio = 1.0 - low / num
+                stop_now = jnp.all(ratio > cfg.depth_confidence)
+            else:
+                stop_now = None
+            newly = (jnp.logical_not(done) if last or stop_now is None
+                     else jnp.logical_and(jnp.logical_not(done), stop_now))
+            if last or do_stop:
+                scores, sim = jax.lax.cond(
+                    newly, lambda op: head_apply(i, *op),
+                    lambda op: (scores, sim), (desc0, desc1, p0, p1))
+                exit_layer = jnp.where(newly, i, exit_layer)
+            if stop_now is not None:
+                done = jnp.logical_or(done, stop_now)
+            if last:
+                done = jnp.asarray(True)
+            if not last and do_prune:
+                # keep: matchable OR not-yet-confident (reference :723-730)
+                keep0 = matchability(i, desc0) > (1 - cfg.width_confidence)
+                keep1 = matchability(i, desc1) > (1 - cfg.width_confidence)
+                if do_stop:
+                    keep0 = keep0 | (conf0 <= th)
+                    keep1 = keep1 | (conf1 <= th)
+                p0 = jnp.where(done, p0, p0 & keep0)
+                p1 = jnp.where(done, p1, p1 & keep1)
+                a0 = a0 & p0
+                a1 = a1 & p1
+        return scores, sim, a0, a1, exit_layer
 
     def _scanned_layers(self, desc0, desc1, enc0, enc1, mask0, mask1,
                         compute_dtype, attn_impl, training):

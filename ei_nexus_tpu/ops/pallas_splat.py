@@ -45,12 +45,19 @@ def _splat_kernel(x_ref, y_ref, t_ref, v_ref, m_ref, grid_out, acc_out,
     ms = m_ref[0, 0, :, 0]
 
     C = xs.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (C, height), 1).astype(
+    # row one-hots are built TRANSPOSED — (H, C) with events along lanes —
+    # so every slot matmul is a plain row-major (H, C) @ (C, W) contraction.
+    # The first version built (C, H) and contracted dim 0 of both operands
+    # (lhs^T @ rhs): Mosaic then relayouts/transposes the 2 MB tile per
+    # slot per chunk — the same column-direction hazard that made the
+    # round-1 attention kernels hang (see ops/pallas_attention.py), and the
+    # reason this kernel measured 24 ms vs XLA's 12.
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (height, C), 0).astype(
         jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (C, width), 1).astype(
         jnp.float32)
 
-    Ey = jnp.maximum(1.0 - jnp.abs(ys[:, None] - rows), 0.0)
+    Eyt = jnp.maximum(1.0 - jnp.abs(ys[None, :] - rows_t), 0.0)
     Ex = jnp.maximum(1.0 - jnp.abs(xs[:, None] - cols), 0.0).astype(
         matmul_dtype)
 
@@ -65,17 +72,17 @@ def _splat_kernel(x_ref, y_ref, t_ref, v_ref, m_ref, grid_out, acc_out,
                        jnp.where(rel == 1, frac, 0.0))
         in_range = ((b0 + s) < bins).astype(jnp.float32)
         w = vs * wt * in_range
-        lhs = (Ey * w[:, None]).astype(matmul_dtype)
+        lhs = (Eyt * w[None, :]).astype(matmul_dtype)
         img = jax.lax.dot_general(
-            lhs, Ex, (((0,), (0,)), ((), ())),
+            lhs, Ex, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         scratch[pl.ds(b0 + s, 1), :, :] += img[None]
 
     # occupancy counts (integer floor one-hots) -> last scratch channel
-    oy = (jnp.floor(ys[:, None]) == rows).astype(matmul_dtype)
+    oyt = (jnp.floor(ys[None, :]) == rows_t).astype(matmul_dtype)
     ox = (jnp.floor(xs[:, None]) == cols).astype(matmul_dtype)
-    oyw = oy * ms.astype(matmul_dtype)[:, None]
-    cnt = jax.lax.dot_general(oyw, ox, (((0,), (0,)), ((), ())),
+    oyw = oyt * ms.astype(matmul_dtype)[None, :]
+    cnt = jax.lax.dot_general(oyw, ox, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     scratch[pl.ds(bins + slots, 1), :, :] += cnt[None]
 
@@ -155,6 +162,9 @@ def voxel_grid_splat_pallas(
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
+            # batch dim is independent; chunk dim carries the VMEM scratch
+            # accumulator and must run sequentially
+            dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xc, yc, tc, vc, mc)

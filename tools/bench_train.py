@@ -25,6 +25,8 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--stages", default="stage1,stage2",
+                   help="comma list: which stages to measure")
     args = p.parse_args(argv)
 
     import jax
@@ -128,10 +130,13 @@ def main(argv=None):
     def mk2(model, freeze):
         return make_stage2_train_step(model, freeze, "VoxelGrid", bins, H, W)
 
-    measure("stage1_train", model1, lambda model, freeze: mk1(model, freeze),
-            {})
-    measure("stage2_train", model2, lambda model, freeze: mk2(model, freeze),
-            {})
+    stages = set(args.stages.split(","))
+    if "stage1" in stages:
+        measure("stage1_train", model1,
+                lambda model, freeze: mk1(model, freeze), {})
+    if "stage2" in stages:
+        measure("stage2_train", model2,
+                lambda model, freeze: mk2(model, freeze), {})
 
 
 if __name__ == "__main__":
