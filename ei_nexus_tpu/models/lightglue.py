@@ -478,11 +478,15 @@ class LightGlue(nn.Module):
             attn_impl = "xla"
         elif training:
             # pallas has a differentiable path (custom-vjp kernels,
-            # gradient-exact vs XLA autodiff on CPU) but its backward has
-            # not yet compiled on the target TPU — opt in with
-            # EI_NEXUS_ATTN_TRAIN=pallas (single device only: GSPMD cannot
-            # partition a pallas_call). Default stays XLA until an
-            # on-target compile is recorded. flash is forward-only.
+            # gradient-exact vs XLA autodiff on CPU). Round 3 MEASURED it
+            # on the target TPU: the backward compiles and steps fine but
+            # LOSES the same-session A/B — stage-2 1.961 steps/s vs XLA's
+            # 2.036 (tools/bench_train.py --stages stage2, B=8). The
+            # whole-problem backward grid (B,) pipelines poorly against
+            # XLA's partitioned score-gradient einsums, so XLA stays the
+            # training default; EI_NEXUS_ATTN_TRAIN=pallas keeps the
+            # kernels exercised (single device only: GSPMD cannot
+            # partition a pallas_call). flash is forward-only.
             import os
             attn_impl = ("pallas_vjp"
                          if os.environ.get("EI_NEXUS_ATTN_TRAIN") == "pallas"

@@ -226,12 +226,16 @@ def ba_solve(problem: BAProblem, iters: int = 10, cg_iters: int = 20,
         prob, lam, err = carry
         cand = gn_step(prob, lam)
         cand_err = mse(cand)
-        accept = cand_err < err
+        # a candidate that blew up (point behind a camera -> z-clamp pole
+        # -> inf/NaN cost) is simply rejected like any uphill step; the
+        # error carry must use where(), not minimum() — IEEE minimum
+        # propagates NaN and would poison every later iteration
+        accept = (cand_err < err) & jnp.isfinite(cand_err)
         prob = jax.tree_util.tree_map(
             lambda a, b: jnp.where(
                 jnp.reshape(accept, (1,) * a.ndim), a, b), cand, prob)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        err = jnp.minimum(cand_err, err)
+        err = jnp.where(accept, cand_err, err)
         return (prob, lam, err), err
 
     err0 = mse(problem)

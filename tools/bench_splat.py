@@ -49,16 +49,19 @@ def main(argv=None):
             [int(c) for c in args.chunks.split(",")],
             [int(s) for s in args.slots.split(",")],
             [bool(int(a)) for a in args.align.split(",")]):
-            def one(x, y, t, p, chunk=chunk, slots=slots, align=align):
-                g, acc = reps.events_to_voxel_grid_splat(
-                    x, y, t, p, bins=bins, height=H, width=W,
-                    chunk=chunk, slots=slots, align_bins=align)
-                return jnp.sum(g) * 1e-9 + jnp.sum(acc) * 1e-9
+            def batched(x, y, t, p, chunk=chunk, slots=slots,
+                        align=align):
+                def one(x, y, t, p):
+                    g, acc = reps.events_to_voxel_grid_splat(
+                        x, y, t, p, bins=bins, height=H, width=W,
+                        chunk=chunk, slots=slots, align_bins=align)
+                    return jnp.sum(g) * 1e-9 + jnp.sum(acc) * 1e-9
+                return jnp.sum(jax.vmap(one)(x, y, t, p))
 
             @jax.jit
             def chained(x, y, t, p):
                 def body(carry, _):
-                    out = jax.vmap(one)(x + carry * 1e-6, y, t, p)
+                    out = batched(x + carry * 1e-6, y, t, p)
                     return jnp.sum(out), None
                 c, _ = jax.lax.scan(body, jnp.float32(0), None, length=N)
                 return c
@@ -69,8 +72,8 @@ def main(argv=None):
                 t0 = time.perf_counter()
                 float(chained(x, y, t, pol))
                 best = min(best, time.perf_counter() - t0)
-            print(json.dumps({"chunk": chunk, "slots": slots,
-                              "align": align,
+            print(json.dumps({"chunk": chunk,
+                              "slots": slots, "align": align,
                               "ms_per_batch": round(best / N * 1e3, 2),
                               "batch": B}), flush=True)
 
