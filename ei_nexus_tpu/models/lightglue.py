@@ -227,10 +227,18 @@ class SelfBlock(nn.Module):
                        name="Wqkv")(x)
         qkv = qkv.reshape(B, N, h, hd, 3).transpose(0, 2, 1, 3, 4)
         q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
-        q = apply_rotary(encoding, q)
-        k = apply_rotary(encoding, k)
-        ctx = _attention(q, k, v, kv_mask, self.shard_heads,
-                         self.attn_impl, self.score_dtype)
+        if self.attn_impl == "pallas" and _pallas_supported(N, hd):
+            # rotary fused into the kernel: raw q/k go in with the (cos,
+            # sin) tables, saving the HBM round-trip of rotated q and k
+            # the pallas_call boundary would otherwise force
+            from ..ops.pallas_attention import self_attention
+            rot = (encoding[0][:, 0], encoding[1][:, 0])   # (B, N, hd)
+            ctx = self_attention(q, k, v, kv_mask, rot=rot).astype(q.dtype)
+        else:
+            q = apply_rotary(encoding, q)
+            k = apply_rotary(encoding, k)
+            ctx = _attention(q, k, v, kv_mask, self.shard_heads,
+                             self.attn_impl, self.score_dtype)
         message = ctx.transpose(0, 2, 1, 3).reshape(B, N, self.embed_dim)
         message = nn.Dense(self.embed_dim, dtype=self.dtype,
                            name="out_proj")(message)

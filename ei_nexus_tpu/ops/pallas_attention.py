@@ -45,6 +45,28 @@ _BIAS = -1e9
 _QBLOCK = int(os.environ.get("EI_NEXUS_ATTN_QBLOCK", "0"))
 
 
+def _rotate_half_matrix(d: int, dtype) -> jax.Array:
+    """(d, d) constant with x @ R == rotate_half(x) (LightGlue's interleaved
+    rotary pairing, models/lightglue.py:86). rotate_half is a lane-axis
+    interleave shuffle — a Mosaic relayout hazard inside a kernel — but as a
+    ±1 permutation matrix it is one MXU matmul, exact in any dtype:
+    out[2m] = -x[2m+1], out[2m+1] = x[2m]."""
+    import numpy as np
+    r = np.zeros((d, d), np.float32)
+    r[np.arange(1, d, 2), np.arange(0, d, 2)] = -1.0
+    r[np.arange(0, d, 2), np.arange(1, d, 2)] = 1.0
+    return jnp.asarray(r, dtype)
+
+
+def _rot(t, cos, sin, r):
+    """In-kernel rotary: t ⊙ cos + (t @ R) ⊙ sin, all in t.dtype (matches
+    the XLA path's bf16 elementwise apply_rotary; the R matmul is exact)."""
+    th = jax.lax.dot_general(t, r, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32
+                             ).astype(t.dtype)
+    return t * cos + th * sin
+
+
 def _qblock_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
     q = q_ref[0, 0]                       # (bq, d)
     k = k_ref[0, 0]                       # (M, d)
@@ -58,34 +80,70 @@ def _qblock_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _qblock_rot_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                       r_ref, b_ref, o_ref, *, scale):
+    """q-blocked attention with the rotary position encoding fused in:
+    raw (un-rotated) q/k enter straight from the QKV projection, saving one
+    HBM round-trip of rotated q and k per self layer."""
+    r = r_ref[...]                        # (d, d)
+    q = _rot(q_ref[0, 0], cq_ref[0], sq_ref[0], r)
+    k = _rot(k_ref[0, 0], ck_ref[0], sk_ref[0], r)
+    v = v_ref[0, 0]
+    bias = b_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = _row_softmax(s + bias[None, :]).astype(v.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def _qblock_attention(q, k, v, bias, scale: float, block_q: int,
-                      interpret: bool = False):
+                      interpret: bool = False, rot=None):
     """Generic row-softmax attention, q blocked over the grid: serves the
-    self case and either cross direction (pre-scaled inputs, scale=1)."""
+    self case and either cross direction (pre-scaled inputs, scale=1).
+    rot=(cos, sin) (B, N, d) tables fuse the rotary encoding of q AND k
+    (self attention: N == M, same tables both sides)."""
     B, h, N, d = q.shape
     M = k.shape[2]
     grid = (B, h, N // block_q)
+    qspec = pl.BlockSpec((1, 1, block_q, d), lambda b, i, n: (b, i, n, 0),
+                         memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, 1, M, d), lambda b, i, n: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, 1, M), lambda b, i, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 1, block_q, d), lambda b, i, n: (b, i, n, 0),
+                         memory_space=pltpu.VMEM)
+    if rot is None:
+        return pl.pallas_call(
+            functools.partial(_qblock_kernel, scale=scale),
+            grid=grid,
+            in_specs=[qspec, kspec, kspec, bspec],
+            out_specs=ospec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")),
+            interpret=interpret,
+        )(q, k, v, bias)
+    cos, sin = rot                         # (B, N, d), head-shared
+    r = _rotate_half_matrix(d, q.dtype)
+    tq = pl.BlockSpec((1, block_q, d), lambda b, i, n: (b, n, 0),
+                      memory_space=pltpu.VMEM)
+    tk = pl.BlockSpec((1, M, d), lambda b, i, n: (b, 0, 0),
+                      memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((d, d), lambda b, i, n: (0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_qblock_kernel, scale=scale),
+        functools.partial(_qblock_rot_kernel, scale=scale),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b, i, n: (b, i, n, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M, d), lambda b, i, n: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M, d), lambda b, i, n: (b, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, M), lambda b, i, n: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d),
-                               lambda b, i, n: (b, i, n, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[qspec, kspec, kspec, tq, tq, tk, tk, rspec, bspec],
+        out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
-    )(q, k, v, bias)
+    )(q, k, v, cos, sin, cos, sin, r, bias)
 
 
 def _row_softmax(s):
@@ -99,12 +157,19 @@ def _row_softmax(s):
 def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                    kv_mask: Optional[jax.Array] = None,
                    interpret: bool = False,
-                   block_q: Optional[int] = None) -> jax.Array:
+                   block_q: Optional[int] = None,
+                   rot=None) -> jax.Array:
     """(B, h, N, d) fused attention; kv_mask (B, N) masks keys.
 
     block_q: 0 = whole-problem kernel, > 0 = q-blocked pipelined grid,
     None = the EI_NEXUS_ATTN_QBLOCK env default. A static jit arg so the
-    two variants never share a trace."""
+    two variants never share a trace.
+
+    rot: optional (cos, sin) rotary tables, each (B, N, d) and shared
+    across heads — pass RAW q/k and the encoding is applied inside the
+    kernel (saves the HBM round-trip of rotated q and k that the kernel
+    boundary otherwise forces; reference applies rotary to q and k only,
+    lightglue.py:206-237)."""
     if block_q is None:
         block_q = _QBLOCK
     B, h, N, d = q.shape
@@ -115,8 +180,8 @@ def self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     bias = bias[:, None, :]
     if block_q and N % block_q == 0:
         return _qblock_attention(q, k, v, bias, d ** -0.5, block_q,
-                                 interpret)
-    return _whole_attention(q, k, v, bias, d ** -0.5, interpret)
+                                 interpret, rot=rot)
+    return _whole_attention(q, k, v, bias, d ** -0.5, interpret, rot=rot)
 
 
 def _cross_kernel(qk0_ref, qk1_ref, v0_ref, v1_ref, b0_ref, b1_ref,
@@ -221,7 +286,28 @@ def _generic_fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, heads):
             preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _whole_attention(q, k, v, bias_lane, scale: float, interpret: bool):
+def _whole_rot_kernel(q_ref, k_ref, v_ref, c_ref, s_ref, r_ref, b_ref,
+                      o_ref, *, scale, heads):
+    """Whole-problem self attention with the rotary encoding fused in
+    (tables head-shared; see _qblock_rot_kernel)."""
+    bias = b_ref[0, 0]                    # (N,)
+    r = r_ref[...]
+    cos = c_ref[0]                        # (N, d)
+    sin = s_ref[0]
+    for hh in range(heads):
+        q = _rot(q_ref[0, hh], cos, sin, r)
+        k = _rot(k_ref[0, hh], cos, sin, r)
+        v = v_ref[0, hh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = _row_softmax(s + bias[None, :]).astype(v.dtype)
+        o_ref[0, hh] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _whole_attention(q, k, v, bias_lane, scale: float, interpret: bool,
+                     rot=None):
     B, h, N, d = q.shape
     M = k.shape[2]
 
@@ -229,18 +315,35 @@ def _whole_attention(q, k, v, bias_lane, scale: float, interpret: bool):
         return pl.BlockSpec((1, h, n, d), lambda b: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    bspec = pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    if rot is None:
+        return pl.pallas_call(
+            functools.partial(_generic_fwd_kernel, scale=scale, heads=h),
+            grid=(B,),
+            in_specs=[spec(N), spec(M), spec(M), bspec],
+            out_specs=spec(N),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(q, k, v, bias_lane)
+    cos, sin = rot
+    r = _rotate_half_matrix(d, q.dtype)
+    tspec = pl.BlockSpec((1, N, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((d, d), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_generic_fwd_kernel, scale=scale, heads=h),
+        functools.partial(_whole_rot_kernel, scale=scale, heads=h),
         grid=(B,),
-        in_specs=[spec(N), spec(M), spec(M),
-                  pl.BlockSpec((1, 1, M), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[spec(N), spec(M), spec(M), tspec, tspec, rspec, bspec],
         out_specs=spec(N),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=interpret,
-    )(q, k, v, bias_lane)
+    )(q, k, v, cos, sin, r, bias_lane)
 
 
 def _attention_bwd_kernel(q_ref, k_ref, v_ref, bl_ref, bc_ref, do_ref,

@@ -121,6 +121,34 @@ class TestPallasAttention:
             np.asarray(jnp.where(m1[:, None, :, None], gb1, 0)),
             np.asarray(jnp.where(m1[:, None, :, None], gw1, 0)), atol=1e-5)
 
+    def test_rotary_fused_matches_apply_rotary(self, rng):
+        """Rotary folded into the self kernels (whole-problem AND q-block)
+        == apply_rotary outside + plain attention. Exercises the ±1
+        rotate-half matmul reformulation (a lane shuffle is a Mosaic
+        hazard; x @ R is exact in any dtype)."""
+        from ei_nexus_tpu.ops.pallas_attention import self_attention
+        from ei_nexus_tpu.models.lightglue import (_attention_xla,
+                                                   apply_rotary)
+        B, h, N, d = 2, 2, 128, 64
+        q, k, v = (jnp.asarray(rng.normal(size=(B, h, N, d)).astype(
+            np.float32)) for _ in range(3))
+        mask = jnp.asarray(rng.uniform(size=(B, N)) > 0.2)
+        # head-shared (B, 1, N, d) tables as FourierPositionalEncoding emits
+        ang = rng.uniform(0, 2 * np.pi, (B, 1, N, d // 2)).astype(np.float32)
+        cos = jnp.asarray(np.repeat(np.cos(ang), 2, axis=-1))
+        sin = jnp.asarray(np.repeat(np.sin(ang), 2, axis=-1))
+        want = _attention_xla(apply_rotary((cos, sin), q),
+                              apply_rotary((cos, sin), k), v, mask)
+        rot = (cos[:, 0], sin[:, 0])
+        got_whole = self_attention(q, k, v, mask, interpret=True,
+                                   block_q=0, rot=rot)
+        got_block = self_attention(q, k, v, mask, interpret=True,
+                                   block_q=64, rot=rot)
+        np.testing.assert_allclose(np.asarray(got_whole), np.asarray(want),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_block), np.asarray(want),
+                                   atol=1e-5)
+
     def test_fused_attention_vjp_grads_match_xla(self, rng):
         """Custom-vjp fused attention: gradients == XLA autodiff (the
         training path). Covers both scale conventions (self d^-0.5, cross
