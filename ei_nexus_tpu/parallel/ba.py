@@ -118,20 +118,72 @@ def _segment_matvec(values, idx, num, v_per_idx):
     return contrib, idx
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def _obs_z(problem: BAProblem) -> jax.Array:
+    """(O,) camera-frame depth of each observed landmark."""
+    Xc = _transform(problem.poses[problem.obs_pose],
+                    problem.points[problem.obs_point])
+    return Xc[..., 2]
+
+
+def _irls_weights(r: jax.Array, delta: float, robust: str) -> jax.Array:
+    """(O,) sqrt-IRLS weights of the robust loss on the 2-norm of each
+    residual pair, applied to residuals AND Jacobians so the normal
+    equations solve the robustified problem.
+
+    huber: w=1 inside the quadratic zone, delta/|r| outside — monotone
+      (safe from any initialization) but outlier influence stays constant
+      at delta, leaving an O(delta * outlier_rate) bias.
+    cauchy: w = 1/(1+(|r|/delta)^2) — redescending: gross outliers get
+      ~zero influence (unbiased given a decent initialization)."""
+    n2 = jnp.sum(r * r, axis=-1) + 1e-12
+    if robust == "cauchy":
+        return jnp.sqrt(1.0 / (1.0 + n2 / (delta * delta)))
+    n = jnp.sqrt(n2)
+    return jnp.sqrt(jnp.minimum(1.0, delta / n))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "cg_iters", "huber_delta",
+                                    "z_min", "robust"))
 def ba_solve(problem: BAProblem, iters: int = 10, cg_iters: int = 20,
-             damping: float = 1e-4) -> Tuple[BAProblem, jax.Array]:
+             damping: float = 1e-4,
+             huber_delta: Optional[float] = None,
+             z_min: Optional[float] = None,
+             robust: str = "huber"
+             ) -> Tuple[BAProblem, jax.Array]:
     """Levenberg-Marquardt BA with Schur complement + matrix-free CG.
 
-    Returns (refined problem, per-iteration mean squared reprojection error
-    (iters+1,)).
+    huber_delta: optional robust loss — IRLS weighting (in pixels) of
+    residuals/Jacobians, and the LM accept test uses the robust cost.
+    robust: "huber" (monotone, safe) or "cauchy" (redescending: gross
+    outliers get ~zero influence — unbiased given a decent init).
+    z_min: optional cheirality gate — observations whose landmark sits at
+    camera-frame depth < z_min get zero weight THIS iteration (they re-enter
+    the moment the optimization brings them back in front); without it a
+    point pushed behind a camera hits the projection z-clamp pole and its
+    residual (~1e9 px) dominates the quadratic cost.
+
+    Returns (refined problem, per-iteration mean cost (iters+1,): squared-px
+    MSE, or mean Huber cost when huber_delta is set).
     """
     M = problem.poses.shape[0]
     L = problem.points.shape[0]
 
+    def obs_weights(problem, r):
+        w = problem.obs_valid.astype(r.dtype)
+        if z_min is not None:
+            w = w * (_obs_z(problem) > z_min)
+        if huber_delta is not None:
+            w = w * _irls_weights(r, huber_delta, robust)
+        return w
+
     def gn_step(problem, lm_lambda):
         r = residuals(problem)                               # (O, 2)
         Jp, Jx = _obs_jacobians(problem)                     # (O,2,6),(O,2,3)
+        w = obs_weights(problem, r)
+        r = r * w[:, None]
+        Jp = Jp * w[:, None, None]
+        Jx = Jx * w[:, None, None]
         op, ox = problem.obs_pose, problem.obs_point
 
         # block diagonals
@@ -219,8 +271,22 @@ def ba_solve(problem: BAProblem, iters: int = 10, cg_iters: int = 20,
 
     def mse(problem):
         r = residuals(problem)
-        n = jnp.maximum(jnp.sum(problem.obs_valid), 1)
-        return jnp.sum(r**2) / n
+        gate = problem.obs_valid.astype(r.dtype)
+        if z_min is not None:
+            gate = gate * (_obs_z(problem) > z_min)
+        n = jnp.maximum(jnp.sum(gate), 1)
+        if huber_delta is None:
+            return jnp.sum(gate[:, None] * r**2) / n
+        # Huber cost (matches the IRLS weighting; the accept test must
+        # score candidates with the cost actually being minimized)
+        d = huber_delta
+        n2 = jnp.sum(r * r, axis=-1) + 1e-12
+        if robust == "cauchy":
+            rho = 0.5 * d * d * jnp.log1p(n2 / (d * d))
+        else:
+            nr = jnp.sqrt(n2)
+            rho = jnp.where(nr <= d, 0.5 * nr**2, d * (nr - 0.5 * d))
+        return jnp.sum(gate * rho) / n
 
     def lm_body(carry, _):
         prob, lam, err = carry

@@ -93,6 +93,47 @@ class TestBA:
         refined, errs = ba_solve(prob2, iters=10)
         assert float(errs[-1]) < 1e-3
 
+    def test_huber_survives_gross_outliers(self, rng):
+        """5% of measurements corrupted by +300 px but left VALID: plain
+        L2 BA is dragged away from the true geometry; Huber-IRLS
+        (huber_delta, ba.py:_irls_weights) recovers the inliers' solution.
+        Compared on the TRUE inlier residuals, not the training cost."""
+        prob, *_ = synth_ba_problem(rng)
+        O = len(np.asarray(prob.obs_pose))
+        out_idx = np.arange(O) % 20 == 0
+        bad_uv = prob.obs_uv.at[np.nonzero(out_idx)[0]].add(300.0)
+        prob2 = prob._replace(obs_uv=bad_uv)
+        ref_l2, _ = ba_solve(prob2, iters=12, cg_iters=25)
+        ref_hu, _ = ba_solve(prob2, iters=12, cg_iters=25, huber_delta=2.0)
+        ref_ca, _ = ba_solve(prob2, iters=12, cg_iters=25, huber_delta=2.0,
+                             robust="cauchy")
+
+        def inlier_mse(refined):
+            r = np.asarray(residuals(refined._replace(obs_uv=prob.obs_uv)))
+            return float((r[~out_idx] ** 2).mean())
+
+        l2, hu, ca = (inlier_mse(m) for m in (ref_l2, ref_hu, ref_ca))
+        # measured: l2 1.07, huber 0.90, cauchy 0.027. Monotone Huber
+        # keeps constant outlier influence -> O(delta * outlier_rate)
+        # bias; redescending Cauchy removes it (gross outliers get ~zero
+        # weight); L2 spreads the corruption over the whole solution.
+        assert ca < 0.05, (l2, hu, ca)
+        assert ca < l2 * 0.05 and hu < l2, (l2, hu, ca)
+
+    def test_cheirality_gate_blocks_clamp_pole(self, rng):
+        """A landmark initialized BEHIND a camera hits the projection
+        z-clamp pole (residual ~1e9 px) and freezes plain LM (every step
+        rejected); z_min gates it out so the rest of the problem still
+        optimizes, and the gated solve ends near zero error."""
+        prob, *_ = synth_ba_problem(rng)
+        pts = prob.points.at[0].set(jnp.asarray([0.0, 0.0, -50.0]))
+        prob2 = prob._replace(points=pts)
+        _, errs_plain = ba_solve(prob2, iters=8, cg_iters=25)
+        refined, errs_gate = ba_solve(prob2, iters=8, cg_iters=25,
+                                      z_min=0.01, huber_delta=4.0)
+        assert float(errs_plain[-1]) > 1e6      # frozen at the pole
+        assert float(errs_gate[-1]) < 1e-2, float(errs_gate[-1])
+
     def test_sharded_matches_single_device(self, rng):
         """Observation-sharded BA on an 8-device mesh gives the same result
         as single-device (collectives inserted by XLA)."""

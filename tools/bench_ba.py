@@ -82,9 +82,19 @@ def synth_problem(rng, M, L, obs_per, noise_pose=0.01, noise_point=0.05,
     valid = Xc[:, 2] > 0.5
     uv = uv + rng.normal(0, noise_px, uv.shape)
 
-    init_poses = poses.copy()
-    init_poses[1:] += rng.normal(0, noise_pose, (M - 1, 6)).astype(
-        np.float32)
+    # Perturb rotation and camera CENTER, then recompose t = -R'c'.
+    # Perturbing (w, t) directly is wrong at this trajectory scale: t=-Rc
+    # has ||c|| ~ 0.5*M, so 0.01 rad of rotation noise without the matching
+    # t compensation moves nearby landmarks by ~0.01*||c|| ≈ 2.4 units in
+    # the camera frame — pushing them behind z=0 and onto the projection
+    # clamp pole (measured: initial MSE 5.8e15 px^2 at M=512).
+    w_n = w.copy()
+    c_n = cam_centers.copy()
+    w_n[1:] += rng.normal(0, noise_pose, (M - 1, 3)).astype(np.float32)
+    c_n[1:] += rng.normal(0, noise_pose, (M - 1, 3)).astype(np.float32)
+    R_n = rotmats(w_n.astype(np.float32))
+    t_n = -np.einsum("mij,mj->mi", R_n, c_n)
+    init_poses = np.concatenate([w_n, t_n], -1).astype(np.float32)
     init_points = points + rng.normal(0, noise_point, points.shape).astype(
         np.float32)
     fixed = np.zeros(M, bool)
@@ -108,6 +118,10 @@ def main(argv=None):
     p.add_argument("--obs-per", type=int, default=10)
     p.add_argument("--cg", type=int, default=20)
     p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--huber", type=float, default=4.0,
+                   help="Huber delta in px (0 disables robust loss)")
+    p.add_argument("--z-min", type=float, default=0.01,
+                   help="cheirality gate depth (0 disables)")
     p.add_argument("--device", default=None, choices=[None, "tpu", "cpu"])
     args = p.parse_args(argv)
 
@@ -122,11 +136,16 @@ def main(argv=None):
     prob = synth_problem(rng, args.kf, args.lm, args.obs_per)
     O = int(prob.obs_uv.shape[0])
 
-    solve = jax.jit(ba_solve, static_argnames=("iters", "cg_iters"))
+    solve = jax.jit(ba_solve,
+                    static_argnames=("iters", "cg_iters", "huber_delta",
+                                     "z_min"))
+    huber = args.huber if args.huber > 0 else None
+    z_min = args.z_min if args.z_min > 0 else None
 
     def run(iters):
         t0 = time.perf_counter()
-        refined, errs = solve(prob, iters=iters, cg_iters=args.cg)
+        refined, errs = solve(prob, iters=iters, cg_iters=args.cg,
+                              huber_delta=huber, z_min=z_min)
         errs = np.asarray(errs)            # fetch = completion bound
         return time.perf_counter() - t0, errs
 
@@ -147,9 +166,9 @@ def main(argv=None):
         "value": round(per_iter_ms, 2),
         "unit": "ms",
         "keyframes": args.kf, "landmarks": args.lm, "observations": O,
-        "cg_iters": args.cg,
-        "mse_px2_start": round(float(errs[0]), 4),
-        "mse_px2_end": round(float(errs[-1]), 4),
+        "cg_iters": args.cg, "huber_px": args.huber,
+        "cost_start": round(float(errs[0]), 4),
+        "cost_end": round(float(errs[-1]), 4),
         "backend": jax.default_backend(),
     }))
 
