@@ -545,7 +545,7 @@ def events_to_voxel_grid_splat(
         # cv != 0 — no fifth row needed.
         packed = jnp.stack([xq, yq, ts, value * valid])
 
-        def aligned_body(grid, inp):
+        def aligned_body(_, inp):
             b0, st, dl, nv = inp
             sl = jax.lax.dynamic_slice(packed, (0, st), (4, chunk))
             cx, cy, ct, cv = sl[0], sl[1], sl[2], sl[3]
@@ -556,12 +556,34 @@ def events_to_voxel_grid_splat(
             # so its corner weights are simply (1-frac, frac): no floor,
             # no slot-window tests, and nothing can be dropped
             frac = ct - b0
-            return slot_update(grid, Ey, Ex,
-                               [cv * (1.0 - frac), cv * frac], b0), None
+            imgs = []
+            for w in (cv * (1.0 - frac), cv * frac):
+                lhs = (Ey * w[:, None]).astype(matmul_dtype)
+                imgs.append(jax.lax.dot_general(
+                    lhs, Ex, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))     # (H, W)
+            return 0, jnp.stack(imgs)                        # (2, H, W)
 
-        grid0 = jnp.zeros((bins + slots, height, width), jnp.float32)
-        grid, _ = jax.lax.scan(aligned_body, grid0,
-                               (b_cc, start, delta, n_val))
+        # Carry-free scan: per-chunk corner blocks are stacked OUTPUTS and
+        # combined afterwards by ONE (bins, 2*n_al) one-hot matmul over the
+        # chunk axis. Carrying the f32 (bins+2, H, W) grid instead was
+        # measured (XLA trace) to cost a whole-grid layout copy per scan
+        # step plus nested per-item dynamic-update-slice while-loops —
+        # ~2.9 of the 8.1 ms voxelize total at B=8.
+        _, blocks = jax.lax.scan(aligned_body, 0,
+                                 (b_cc, start, delta, n_val))
+        ids = jnp.stack([b_cc, jnp.minimum(b_cc + 1, bins + slots - 1)],
+                        1).reshape(-1)                       # (2*n_al,)
+        # f32 on both sides: the blocks hold accumulated sums (hundreds)
+        # that bf16's 8 mantissa bits would truncate; the matmul is tiny
+        # (traffic-bound) so f32 costs nothing
+        sel_onehot = (ids[None, :] == jnp.arange(bins + slots)[:, None]
+                      ).astype(jnp.float32)                  # (bins+2, 2*n_al)
+        grid = jax.lax.dot_general(
+            sel_onehot, blocks.reshape(-1, height * width),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32
+        ).reshape(bins + slots, height, width)
         dropped = jnp.float32(0.0) if with_drop_stat else None
 
         acc = None

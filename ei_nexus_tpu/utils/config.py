@@ -66,7 +66,15 @@ def deep_merge(base: Dict, update: Mapping) -> Dict:
 
 
 def _parse_value(text: str) -> Any:
-    return yaml.safe_load(text)
+    v = yaml.safe_load(text)
+    if isinstance(v, str) and re.fullmatch(
+            r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+", v):
+        # YAML 1.1 only floats "5.0e-4", not "5e-4" — a CLI override like
+        # train.optimizer.lr=5e-4 would silently become a STRING and blow
+        # up deep inside the LR schedule. Coerce plain scientific notation
+        # (and nothing else: "2024_01" must stay a string).
+        return float(v)
+    return v
 
 
 def apply_overrides(cfg: Dict, overrides: Sequence[str]) -> Dict:

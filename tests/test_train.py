@@ -143,6 +143,17 @@ class TestConfigSystem:
                                                 "new.key=2.5"])
         assert cfg.a.b == 5 and cfg.c == "world" and cfg.new.key == 2.5
 
+    def test_override_scientific_notation_is_float(self, tmp_path):
+        """YAML 1.1 rejects '5e-4' as a float (needs '5.0e-4'); the CLI
+        coercion must fix it or lr=5e-4 silently becomes a string and
+        crashes the LR schedule (hit live, round 3). Strings that merely
+        LOOK numeric-ish must survive."""
+        root = tmp_path / "c.yaml"
+        root.write_text("lr: 0.1\nname: x\n")
+        cfg = load_config(str(root), overrides=["lr=5e-4", "name=v1e2x"])
+        assert cfg.lr == 5e-4 and isinstance(cfg.lr, float)
+        assert cfg.name == "v1e2x"
+
     def test_group_override(self, tmp_path):
         """Hydra-class CLI group re-selection: `group=name` replaces the
         composed group file when <dir>/<group>/<name>.yaml exists; a
