@@ -589,14 +589,20 @@ def events_to_voxel_grid_splat(
         acc = None
         if with_accumulation:
             # occupancy has no time dimension: count it over plain
-            # reshape-chunks (no dynamic slices, no per-bin remainders)
-            def acc_body(acc, inp):
+            # reshape-chunks (no dynamic slices, no per-bin remainders).
+            # Carry-free like the splat scan above: per-chunk count images
+            # leave as stacked outputs and one reduce sums them (an (H, W)
+            # f32 carry still pays scan-carry copies).
+            def acc_body(_, inp):
                 cx, cy, cm = inp
-                return occupancy_update(acc, cx, cy, cm), None
-            acc, _ = jax.lax.scan(
-                acc_body, jnp.zeros((height, width), jnp.float32),
+                img = occupancy_update(
+                    jnp.zeros((height, width), jnp.float32), cx, cy, cm)
+                return 0, img
+            _, acc_blocks = jax.lax.scan(
+                acc_body, 0,
                 (xq.reshape(n_chunks, chunk), yq.reshape(n_chunks, chunk),
                  valid.reshape(n_chunks, chunk)))
+            acc = jnp.sum(acc_blocks, axis=0)
     else:
         xc = xq.reshape(n_chunks, chunk)
         yc = yq.reshape(n_chunks, chunk)
