@@ -225,7 +225,16 @@ def main():
     # indoor_flying4 + outdoor_day1 are the STOCK two-sequence RPE protocol
     # (data/mvsec.py VAL_SEQUENCES; reference datasets/MVSEC.py:1016) — both
     # must exist for test_events_image_different_time.py to run verbatim
+    # indoor_flying2/3 are the reference's remaining TRAIN sequences
+    # (datasets/MVSEC.py:1016 trains on indoor_flying1/2/3); their crops
+    # ((200,-100)/(120,-40), data/mvsec.py SEQUENCE_CROPS) eat more frames,
+    # so they get proportionally longer renders. Distinct texture seeds per
+    # sequence so multi-sequence training actually sees different scenes.
     specs = [("indoor_flying", "indoor_flying1", args.train_frames, 0.0, 10),
+             ("indoor_flying", "indoor_flying2", args.train_frames + 200,
+              1.3, 20),
+             ("indoor_flying", "indoor_flying3", args.train_frames + 60,
+              3.1, 30),
              ("indoor_flying", "indoor_flying4", args.val_frames, 2.1, 40),
              ("outdoor_day", "outdoor_day1", args.val_frames, 4.2, 70)]
     if args.sequences:
