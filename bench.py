@@ -22,7 +22,9 @@ group under a hard per-attempt timeout and a global wall-clock deadline,
 prints the SAME single JSON line with an "error" field and exits 0 —
 never a hang, never a traceback tail. Knobs: EI_NEXUS_BENCH_DEADLINE
 (default 2400 s), EI_NEXUS_BENCH_TIMEOUT (per attempt, default 1500 s),
-EI_NEXUS_BENCH_PROBE_TIMEOUT (150 s), EI_NEXUS_BENCH_BACKOFF (60 s),
+EI_NEXUS_BENCH_PROBE_TIMEOUT (270 s — a healthy-but-cold tunnel measured
+178 s for init+tiny-jit, so 150 s false-negatived), EI_NEXUS_BENCH_BACKOFF
+(60 s),
 EI_NEXUS_BENCH_ATTEMPTS (4).
 
 Baseline: the reference (PyTorch on one A800) publishes no throughput.
@@ -64,7 +66,7 @@ def main():
         metric=_metric_name(), unit="pairs/s",
         deadline_s=getf("EI_NEXUS_BENCH_DEADLINE", 2400),
         attempt_timeout=getf("EI_NEXUS_BENCH_TIMEOUT", 1500),
-        probe_timeout=getf("EI_NEXUS_BENCH_PROBE_TIMEOUT", 150),
+        probe_timeout=getf("EI_NEXUS_BENCH_PROBE_TIMEOUT", 270),
         backoff=getf("EI_NEXUS_BENCH_BACKOFF", 60),
         max_attempts=int(getf("EI_NEXUS_BENCH_ATTEMPTS", 4)),
         probe=env.get("EI_NEXUS_BENCH_PROBE", "1") != "0",

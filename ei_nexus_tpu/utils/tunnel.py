@@ -58,7 +58,7 @@ def _run_killable(cmd: Sequence[str], timeout: float,
         return None, out, err
 
 
-def probe_backend(timeout: float = 150.0,
+def probe_backend(timeout: float = 270.0,
                   env: Optional[Dict[str, str]] = None,
                   ) -> Tuple[bool, str]:
     """Check the default JAX backend end to end (init + compile + fetch)
@@ -83,7 +83,7 @@ def backend_is_remote() -> bool:
     return first not in ("", "cpu")
 
 
-def wait_for_backend(max_attempts: int = 3, probe_timeout: float = 150.0,
+def wait_for_backend(max_attempts: int = 3, probe_timeout: float = 270.0,
                      backoff: float = 60.0,
                      env: Optional[Dict[str, str]] = None,
                      ) -> Tuple[bool, str]:
@@ -103,7 +103,7 @@ def wait_for_backend(max_attempts: int = 3, probe_timeout: float = 150.0,
 def supervised_json(inner_cmd: Sequence[str], *, metric: str, unit: str,
                     deadline_s: float = 2400.0,
                     attempt_timeout: float = 1500.0,
-                    probe_timeout: float = 150.0,
+                    probe_timeout: float = 270.0,
                     backoff: float = 60.0,
                     max_attempts: int = 4,
                     probe: bool = True,
