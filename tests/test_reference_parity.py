@@ -272,7 +272,11 @@ def _assert_extractor_parity(ref_out, out, map_atol=5e-4, desc_atol=1e-3,
 
 
 def _assert_keypoint_set_parity(op_, od, rp, rd, map_atol, desc_atol,
-                                tie_tol=5e-4):
+                                tie_tol=1e-4):
+    # tie_tol: observed boundary-swap score gaps are <1e-5 (torch-vs-XLA
+    # conv maps agree to ~1 ulp); 1e-4 gives 10x slack over that without
+    # letting a systematic port error at the selection boundary pass as
+    # a "tie" (advisor round 3).
     okeys = [tuple(np.round(k, 3)) for k in op_[:, :2]]
     rkeys = [tuple(np.round(k, 3)) for k in rp[:, :2]]
     if okeys == rkeys:
@@ -282,19 +286,26 @@ def _assert_keypoint_set_parity(op_, od, rp, rd, map_atol, desc_atol,
         return
     oset, rset = set(okeys), set(rkeys)
     only_o, only_r = oset - rset, rset - oset
-    # at most a handful of boundary swaps, equal counts each side
+    # at most a handful of boundary swaps, equal counts each side.
+    # Budget: observed disagreement is 2-3 of ~70 keypoints; max(3, n//24)
+    # admits that while failing a regression that doubles the rate.
     assert len(only_o) == len(only_r), (sorted(only_o), sorted(only_r))
-    assert len(only_o) <= max(2, len(rkeys) // 16), \
+    assert len(only_o) <= max(3, len(rkeys) // 24), \
         (sorted(only_o), sorted(only_r))
     o_by_key = {k: i for i, k in enumerate(okeys)}
     r_by_key = {k: i for i, k in enumerate(rkeys)}
-    # every extra keypoint on one side must be score-tied with some
-    # missing keypoint on the other side (the pair that swapped)
-    o_scores = np.asarray([op_[o_by_key[k], 2] for k in sorted(only_o)])
-    r_scores = np.asarray([rp[r_by_key[k], 2] for k in sorted(only_r)])
-    gap = np.abs(o_scores[:, None] - r_scores[None, :])
-    assert gap.min(axis=1).max() < tie_tol, (o_scores, r_scores)
-    assert gap.min(axis=0).max() < tie_tol, (o_scores, r_scores)
+    if only_o:  # equal-but-reordered sets have no swaps to explain
+        # every extra keypoint on one side must pair ONE-TO-ONE with a
+        # score-tied missing keypoint on the other side (the pair that
+        # swapped). For scalar scores the optimal one-to-one matching
+        # under max-|diff| is the sorted pairing, so sort both sides by
+        # score and compare elementwise — unlike a bipartite
+        # nearest-score test this cannot let two spurious keypoints both
+        # claim the same reference score (advisor round 3).
+        o_scores = np.sort([op_[o_by_key[k], 2] for k in only_o])
+        r_scores = np.sort([rp[r_by_key[k], 2] for k in only_r])
+        assert np.abs(o_scores - r_scores).max() < tie_tol, \
+            (o_scores, r_scores)
     # the agreeing majority must still match scores AND descriptors
     common = sorted(oset & rset)
     oi = [o_by_key[k] for k in common]
