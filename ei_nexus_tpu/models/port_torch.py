@@ -134,3 +134,47 @@ def load_torch_file(path: str) -> Dict[str, Any]:
         obj = obj["state_dict"]
     return {k: v.numpy() if hasattr(v, "numpy") else v
             for k, v in obj.items()}
+
+
+def load_silk_lightning_file(path: str) -> Dict[str, Any]:
+    """Load a SiLK pytorch-lightning checkpoint (the released pvgg-4.ckpt
+    layout) into flax variables for models.silk.SiLKVGG.
+
+    The reference loads these with state_dict_key="state_dict" and strips
+    the "_mods.model." prefix (silk_extractor.py:167-174 via
+    silk/config/model.py:19-80); replicate both steps here so the released
+    blob ports with one call the day it is available."""
+    sd = load_torch_file(path)  # pops the lightning "state_dict" wrapper
+    pre = "_mods.model."
+    sd = {k[len(pre):] if k.startswith(pre) else k: v for k, v in sd.items()}
+    return load_silk_torch_weights(sd)
+
+
+def load_eim_checkpoint_file(path: str, variables: Dict[str, Any],
+                             image_extractor_type: str = "superpointv1",
+                             matcher_type: str = "LightGlue",
+                             n_lightglue_layers: int = 9,
+                             use_batchnorm: bool = True) -> Dict[str, Any]:
+    """Port a reference on-disk EIM checkpoint (.pth) onto init variables.
+
+    This is the eval-CLI ingest path for reference-released checkpoints
+    (e.g. ckpts/MVSEC_EI_SP_LG_ft_Stage2.pth, loaded by the reference at
+    test_events-image_different_time.py:156 with plain
+    `model.load_state_dict(torch.load(path), strict=False)`). Ported
+    subtrees replace the matching roots of `variables` (an init'd flax
+    variables dict); roots the checkpoint does not carry (e.g. an MNN
+    matcher with no parameters) keep their init values, mirroring the
+    reference's strict=False semantics."""
+    sd = load_torch_file(path)
+    ported = load_eim_torch_checkpoint(
+        sd, image_extractor_type=image_extractor_type,
+        matcher_type=matcher_type,
+        n_lightglue_layers=n_lightglue_layers,
+        use_batchnorm=use_batchnorm)
+    out = {col: dict(tree) for col, tree in variables.items()}
+    for col, tree in ported.items():
+        for root, sub in tree.items():
+            if col not in out:
+                out[col] = {}
+            out[col][root] = sub
+    return out

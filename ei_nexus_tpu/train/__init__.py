@@ -8,7 +8,8 @@ from .state import TrainState, create_train_state
 from .partition import freeze_mask, apply_freeze
 from . import steps
 from .checkpoint import (
-    save_checkpoint, restore_checkpoint, load_stage1_event_extractor,
+    save_checkpoint, restore_checkpoint, restore_any_checkpoint,
+    load_stage1_event_extractor,
     load_stage2_matcher,
 )
 
@@ -17,6 +18,7 @@ __all__ = [
     "PlateauController", "set_learning_rate", "get_learning_rate",
     "TrainState", "create_train_state",
     "freeze_mask", "apply_freeze", "steps",
-    "save_checkpoint", "restore_checkpoint", "load_stage1_event_extractor",
+    "save_checkpoint", "restore_checkpoint", "restore_any_checkpoint",
+    "load_stage1_event_extractor",
     "load_stage2_matcher",
 ]

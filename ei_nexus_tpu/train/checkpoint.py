@@ -69,6 +69,31 @@ def restore_checkpoint(path: str, state, params_only: bool = False):
     return new_state, int(restored["epoch"])
 
 
+def restore_any_checkpoint(path: str, state, model_config):
+    """Eval-CLI checkpoint ingest: orbax dir OR reference torch .pth.
+
+    A `.pth`/`.pt` path is treated as a reference-format full-EIM state
+    dict (the released-checkpoint layout the reference eval loads at
+    test_events-image_different_time.py:156) and ported through
+    models.port_torch onto this state's variables; anything else restores
+    as a native orbax checkpoint. Returns (state, epoch) — epoch is 0 for
+    torch files (they carry no trainer state)."""
+    if str(path).endswith((".pth", ".pt")):
+        from ei_nexus_tpu.models.port_torch import load_eim_checkpoint_file
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        ported = load_eim_checkpoint_file(
+            path, variables,
+            image_extractor_type=model_config.image_extractor.type,
+            matcher_type=model_config.matcher.type,
+            n_lightglue_layers=model_config.matcher.lightglue.n_layers,
+            use_batchnorm=model_config.event_extractor.use_batchnorm)
+        return state.replace(params=ported["params"],
+                             batch_stats=ported.get("batch_stats", {})), 0
+    return restore_checkpoint(path, state, params_only=True)
+
+
 def _restore_raw(path: str) -> Dict[str, Any]:
     ckptr = _checkpointer()
     return ckptr.restore(os.path.abspath(path))

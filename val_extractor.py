@@ -33,7 +33,7 @@ def main(argv=None):
                                      eim_config_from_dict)
     from ei_nexus_tpu.losses import build_losses
     from ei_nexus_tpu.train import (build_optimizer, create_train_state,
-                                    restore_checkpoint)
+                                    restore_any_checkpoint)
     from ei_nexus_tpu.train.evaluate import val_extractor
     from ei_nexus_tpu.train.steps import batch_representation
     from ei_nexus_tpu.data import DataLoader
@@ -66,7 +66,7 @@ def main(argv=None):
     import optax
     state = create_train_state(model, variables, optax.sgd(0.0))
     if args.ckpt:
-        state, _ = restore_checkpoint(args.ckpt, state, params_only=True)
+        state, _ = restore_any_checkpoint(args.ckpt, state, model.config)
 
     losses = build_losses(cfg.get_path("train.loss", {}) or {})
     metrics = val_extractor(state, model, loader, rep, bins, H, W,

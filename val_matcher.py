@@ -30,7 +30,7 @@ def main(argv=None):
     from ei_nexus_tpu.utils import load_config
     from ei_nexus_tpu.models import (EIM, build_model,
                                      eim_config_from_dict)
-    from ei_nexus_tpu.train import create_train_state, restore_checkpoint
+    from ei_nexus_tpu.train import create_train_state, restore_any_checkpoint
     from ei_nexus_tpu.train.evaluate import rpe_eval
     from ei_nexus_tpu.train.steps import batch_representation
     from ei_nexus_tpu.data import DataLoader
@@ -61,7 +61,7 @@ def main(argv=None):
     import optax
     state = create_train_state(model, variables, optax.sgd(0.0))
     if args.ckpt:
-        state, _ = restore_checkpoint(args.ckpt, state, params_only=True)
+        state, _ = restore_any_checkpoint(args.ckpt, state, model.config)
 
     # --- GT-match loss + assignment metrics (reference val_matcher.py:70-
     # 108): the stage-2 training loss evaluated without gradients. The
