@@ -25,6 +25,7 @@ import functools
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
+import optax
 import jax.numpy as jnp
 
 from ..data import representations as reps
@@ -102,6 +103,10 @@ def make_stage1_train_step(
         (loss, (info, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grads = apply_freeze(grads, freeze)
+        # global grad norm: training observability + the multichip dryrun's
+        # sharded-vs-single-device equality check (a wrong/missing psum
+        # shows up as a norm mismatch long before the loss diverges)
+        info["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads, new_stats)
         info["dropped_splat_weight"] = drop_w
         return new_state, info
@@ -153,6 +158,10 @@ def make_stage2_train_step(
         (loss, (info, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         grads = apply_freeze(grads, freeze)
+        # global grad norm: training observability + the multichip dryrun's
+        # sharded-vs-single-device equality check (a wrong/missing psum
+        # shows up as a norm mismatch long before the loss diverges)
+        info["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads, new_stats)
         info["dropped_splat_weight"] = drop_w
         return new_state, info

@@ -67,6 +67,130 @@ WORKER = textwrap.dedent("""
 """).format(repo=REPO)
 
 
+WORKER4 = textwrap.dedent("""
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]; ckdir = sys.argv[3]
+    jax.distributed.initialize(coordinator_address=f"localhost:{{port}}",
+                               num_processes=4, process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ei_nexus_tpu.parallel import make_mesh, shard_batch, replicate
+    from ei_nexus_tpu.data import DataLoader
+    from ei_nexus_tpu.train import create_train_state, save_checkpoint
+
+    assert jax.process_count() == 4
+    assert len(jax.devices()) == 8
+
+    class DS:
+        def __len__(self):
+            return 16
+        def __getitem__(self, i):
+            rng = np.random.default_rng(200 + i)
+            return {{"x": rng.normal(size=(16,)).astype(np.float32),
+                     "i": np.int32(i)}}
+
+    loader = DataLoader(DS(), batch_size=4, shuffle=True, seed=9,
+                        process_index=pid, process_count=4, num_workers=0)
+    loader.set_epoch(0)
+    batch = next(iter(loader))
+    assert batch["x"].shape == (1, 16)   # local shard of the global 4
+    # realistic pod topology: model axis INSIDE each process (each host
+    # owns one data row of the (data=4, model=2) mesh)
+    mesh = make_mesh(data=4, model=2)
+    w_np = (np.arange(16 * 8, dtype=np.float32).reshape(16, 8) / 100.0)
+    w = jax.make_array_from_callback(
+        (16, 8), NamedSharding(mesh, P(None, "model")),
+        lambda idx: w_np[idx])
+    gbatch = shard_batch(batch, mesh)
+    assert gbatch["x"].shape == (4, 16)
+
+    def loss_fn(w, b):
+        y = b["x"] @ w          # (4, 8), model-sharded columns
+        return jnp.mean(jnp.sum(y ** 2, -1))
+
+    @jax.jit
+    def step(w, b):
+        loss, g = jax.value_and_grad(loss_fn)(w, b)
+        return loss, g, jnp.linalg.norm(g), jnp.sum(b["i"])
+    with jax.set_mesh(mesh):
+        loss, g, gnorm, isum = step(w, gbatch)
+        # one SGD step, then a 4-process sharded checkpoint save
+        tx = optax.sgd(0.1)
+
+        class M:  # create_train_state only records model.apply
+            apply = staticmethod(lambda *a, **k: None)
+
+        state = create_train_state(M(), {{"params": {{"w": w}}}}, tx)
+        grads = {{"w": g}}
+        state = state.apply_gradients(grads)
+        save_checkpoint(ckdir, state, epoch=1, name="mp4")
+    print(f"RESULT {{float(loss):.8f}} {{float(gnorm):.8f}} {{int(isum)}}",
+          flush=True)
+""").format(repo=REPO)
+
+
+def test_four_process_data_model_mesh_and_elastic_restore(tmp_path):
+    """4 real processes x 2 virtual devices over a (data=4, model=2) mesh
+    with a model-sharded parameter, then the checkpoint written by the
+    4-process run restored in THIS single process (orbax resharding N=4 ->
+    M=1 — the elastic eval-a-pod-checkpoint-on-one-host case)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker4.py"
+    script.write_text(WORKER4)
+    ckdir = tmp_path / "ckpts"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, str(script), str(i),
+                               str(port), str(ckdir)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, env=env, text=True)
+             for i in range(4)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=360)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append([ln for ln in out.splitlines()
+                     if ln.startswith("RESULT")][0].split()[1:])
+    assert all(o == outs[0] for o in outs), outs
+
+    # single-process numpy reference over the same global batch
+    idx = np.random.default_rng(9 + 0).permutation(16)[:4]
+    x = np.stack([np.random.default_rng(200 + int(i)).normal(
+        size=(16,)).astype(np.float32) for i in idx])
+    w_np = np.arange(16 * 8, dtype=np.float32).reshape(16, 8) / 100.0
+    y = x @ w_np
+    loss = float(np.mean(np.sum(y ** 2, -1)))
+    g = 2.0 * x.T @ y / len(x)
+    np.testing.assert_allclose(float(outs[0][0]), loss, rtol=1e-5)
+    np.testing.assert_allclose(float(outs[0][1]), np.linalg.norm(g),
+                               rtol=1e-4)
+    assert int(outs[0][2]) == int(np.sum(idx))
+
+    # elastic restore: the 4-process sharded save restored here (1 process)
+    import optax
+    from ei_nexus_tpu.train import create_train_state, restore_checkpoint
+
+    class M:
+        apply = staticmethod(lambda *a, **k: None)
+
+    template = create_train_state(
+        M(), {"params": {"w": np.zeros((16, 8), np.float32)}},
+        optax.sgd(0.1))
+    restored, epoch = restore_checkpoint(str(ckdir / "mp4"), template)
+    assert epoch == 1
+    np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                               w_np - 0.1 * g, rtol=1e-5, atol=1e-6)
+    assert int(restored.step) == 1
+
+
 def test_two_process_data_parallel(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
