@@ -111,10 +111,14 @@ class ECSequence:
         ts = float(self.frame_ts[index])
         i0 = np.searchsorted(self.events["t"], ts - event_dt, side="left")
         i1 = np.searchsorted(self.events["t"], ts, side="right")
+        # relative-f32 timestamps: see data/mvsec.py view() — epoch-scale
+        # absolute stamps would be truncated by the f32 device boundary
+        t64 = self.events["t"][i0:i1].astype(np.float64)
+        t_rel = (t64 - (t64[0] if len(t64) else 0.0)).astype(np.float32)
         x, y, t, p, valid = pad_events(
             self.events["x"][i0:i1].astype(np.float32),
             self.events["y"][i0:i1].astype(np.float32),
-            self.events["t"][i0:i1].astype(np.float64),
+            t_rel,
             self.events["p"][i0:i1].astype(np.float32), max_events)
         pose = self.pose_interpolator.interpolate(ts).astype(np.float32)
         return {

@@ -176,9 +176,18 @@ class MVSECSequence:
         depth = self.depth[index].astype(np.float32)
         depth_mask = ~np.isnan(depth)
         ev = self.events_window(float(self.image_ts[index]), event_dt)
+        # timestamps leave the host RELATIVE to the window's first event,
+        # in f32: real MVSEC stamps are epoch-scale (~1.5e9 s) where f32
+        # resolves only ~256 s, so an absolute-f64 array would be silently
+        # truncated to garbage at the device boundary (jax x64 is off).
+        # Every representation normalizes to the window, so the shift is
+        # semantics-free (representations.normalize_time subtracts the
+        # first valid stamp anyway).
+        t64 = ev["t"].astype(np.float64)
+        t_rel = (t64 - (t64[0] if len(t64) else 0.0)).astype(np.float32)
         x, y, t, p, valid = pad_events(
             ev["x"].astype(np.float32), ev["y"].astype(np.float32),
-            ev["t"].astype(np.float64), ev["p"].astype(np.float32),
+            t_rel, ev["p"].astype(np.float32),
             max_events)
         pose = self.pose_interpolator.interpolate(
             float(self.depth_ts[index])).astype(np.float32)

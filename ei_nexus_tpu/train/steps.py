@@ -25,6 +25,7 @@ import functools
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
+import numpy as np
 import optax
 import jax.numpy as jnp
 
@@ -33,6 +34,90 @@ from ..geometry import Camera, Pose, gt_matches_from_pose_depth
 from ..losses.matcher_loss import lightglue_loss, mnn_loss
 from .partition import apply_freeze
 from .state import TrainState
+
+
+# uint16 fixed-point event coordinates: 1/64-px resolution (exact for the
+# integer sensor coords; 0.016 px quantization for rectified fractional
+# coords — far below the voxel grid's bilinear footprint). 64 is a power
+# of two, so encode/decode round-trips exactly in f32.
+EVENT_COORD_SCALE = 64.0
+
+
+def compact_event_view(view: Mapping[str, np.ndarray],
+                       keep: Tuple[str, ...] = ()) -> Dict[str, np.ndarray]:
+    """Shrink a collated view's host->device transfer ~4.7x.
+
+    The tunnel/PCIe H2D of padded raw events dominates the real train
+    loop (measured: stage-1 1.29 s/step against a 0.26 s device step;
+    each sample ships 262144 x 21 B of f32/f64/bool event arrays). Encode
+    x/y as uint16 fixed-point, t as f32 RELATIVE to the window's first
+    event (absolute MVSEC stamps are epoch-scale — f32 would lose ~100 ns
+    only after subtraction, and every consumer normalizes to the window
+    anyway), p as uint8, and the validity mask as one int32 count per
+    sample (events are tail-padded). decode inside the jitted step
+    (`_decode_event_view`) restores the standard float arrays on device.
+
+    `keep` lists non-event keys to carry through (e.g. "image", "depth",
+    "K"); everything else is dropped from the transfer.
+    """
+    x = np.asarray(view["events_x"])
+    valid = np.asarray(view["events_valid"])
+    n = valid.sum(axis=1).astype(np.int32)
+    t = np.asarray(view["events_t"])
+    if t.dtype == np.float64:
+        # legacy absolute stamps: shift before narrowing (see the
+        # relative-f32 note in data/mvsec.py view(), which now does this
+        # at the source — f32 inputs pass through bit-identically)
+        t0 = t[:, :1] * (n > 0)[:, None]
+        t = ((t - t0) * valid).astype(np.float32)
+    out = {
+        "events_xq": np.round(x * EVENT_COORD_SCALE).astype(np.uint16),
+        "events_yq": np.round(np.asarray(view["events_y"])
+                              * EVENT_COORD_SCALE).astype(np.uint16),
+        "events_tr": t.astype(np.float32),
+        "events_pq": np.asarray(view["events_p"]).astype(np.uint8),
+        "events_n": n,
+    }
+    for k in keep:
+        if k in view:
+            out[k] = view[k]
+    return out
+
+
+def _decode_event_view(view: Mapping[str, jax.Array]
+                       ) -> Dict[str, jax.Array]:
+    """In-jit inverse of compact_event_view (pass-through otherwise)."""
+    if "events_xq" not in view:
+        return dict(view)
+    out = {k: v for k, v in view.items()
+           if not k.startswith("events_")}
+    L = view["events_xq"].shape[-1]
+    out["events_x"] = view["events_xq"].astype(jnp.float32) \
+        / EVENT_COORD_SCALE
+    out["events_y"] = view["events_yq"].astype(jnp.float32) \
+        / EVENT_COORD_SCALE
+    out["events_t"] = view["events_tr"].astype(jnp.float32)
+    out["events_p"] = view["events_pq"].astype(jnp.float32)
+    out["events_valid"] = jnp.arange(L)[None, :] < view["events_n"][:, None]
+    return out
+
+
+def compact_stage1_batch(batch) -> Tuple[Dict[str, np.ndarray]]:
+    """Host-side wire shrink for the stage-1 step: it reads only
+    batch[0]'s events + image, so ship exactly that (the loader's data1 is
+    the SAME view for the single-pair protocol — previously transferred
+    twice)."""
+    return (compact_event_view(batch[0], keep=("image",)),)
+
+
+def compact_stage2_batch(batch):
+    """Host-side wire shrink for the stage-2 step: data0 events (compact)
+    + K + depth, data1 image + depth, and the relative poses — data1's
+    event arrays, poses and masks never cross the wire."""
+    data0, data1, T01, T10 = batch[:4]
+    return (compact_event_view(data0, keep=("K", "depth")),
+            {"image": data1["image"], "depth": data1["depth"]},
+            T01, T10)
 
 
 def batch_representation(batch_view: Mapping[str, jax.Array], kind: str,
@@ -47,7 +132,11 @@ def batch_representation(batch_view: Mapping[str, jax.Array], kind: str,
     splat weight dropped by the slot-window guard (always 0.0 on the
     scatter path), summed over the batch — trainers log it so bursty
     streams cannot silently corrupt the representation.
+
+    Accepts either the standard float event arrays or the compact wire
+    format of `compact_event_view` (decoded on device here).
     """
+    batch_view = _decode_event_view(batch_view)
     if kind == "VoxelGrid" and fast:
         def one(x, y, t, p, m):
             grid, acc, drop = reps.events_to_voxel_grid_splat(

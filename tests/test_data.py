@@ -154,10 +154,14 @@ class TestMVSEC:
         assert v["depth"].shape == (260, 346)
         assert v["events_x"].shape == (4096,)
         assert v["events_valid"].any()
-        # events inside the (ts-dt, ts] window
+        # stamps are RELATIVE to the window's first event in f32 (epoch-
+        # scale absolute f64 would truncate at the device boundary): the
+        # (ts-dt, ts] window selection now shows as values in [0, dt)
         tv = v["events_t"][v["events_valid"]]
-        assert (tv <= v["image_ts"] + 1e-6).all()
-        assert (tv > v["image_ts"] - 0.4 - 1e-6).all()
+        assert tv.dtype == np.float32
+        assert tv[0] == 0.0
+        assert (np.diff(tv) >= 0).all()
+        assert (tv < 0.4 + 1e-6).all()
         # depth NaN band became 0 with mask False
         assert not v["depth_mask"][:10].any()
         assert (v["depth"][:10] == 0).all()

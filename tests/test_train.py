@@ -54,10 +54,17 @@ def synth_batch(rng, B=2, n_events=500, max_events=1024, with_depth=True):
     def view():
         x = rng.uniform(0, W - 1, (B, max_events)).astype(np.float32)
         y = rng.uniform(0, H - 1, (B, max_events)).astype(np.float32)
-        t = np.sort(rng.uniform(0, 0.4, (B, max_events)), axis=1)
+        # relative-f32 stamps, like data/mvsec.py view() emits
+        t = np.sort(rng.uniform(0, 0.4, (B, max_events)),
+                    axis=1).astype(np.float32)
         p = rng.integers(0, 2, (B, max_events)).astype(np.float32)
         valid = np.zeros((B, max_events), bool)
         valid[:, :n_events] = True
+        # production padding is zeros (representations.pad_events); random
+        # tail values would still be masked out but change the bf16
+        # splat's chunk composition, breaking bit-equality comparisons
+        for arr in (x, y, t, p):
+            arr[:, n_events:] = 0.0
         d = {
             "events_x": x, "events_y": y, "events_t": t, "events_p": p,
             "events_valid": valid,
@@ -275,6 +282,48 @@ class TestStage2:
                 lambda a, b: a - b, state.params["matcher"],
                 variables["params"]["matcher"]), 0.0)
         assert moved > 0
+
+    def test_compact_wire_equality(self, rng):
+        """compact_event_view's uint16/uint8/count wire format must decode
+        to the exact same representation (integer sensor coords round-trip
+        losslessly through the 1/64-px fixed point) and the stage-2 step
+        must produce the same loss/grads from the compact batch."""
+        from ei_nexus_tpu.train.steps import (compact_event_view,
+                                              compact_stage2_batch)
+        model = EIM(config=small_config("LightGlue", freeze_matcher=False))
+        batch = synth_batch(rng)
+        for view in (batch[0], batch[1]):  # integer coords like the sensor
+            view["events_x"] = np.floor(view["events_x"])
+            view["events_y"] = np.floor(view["events_y"])
+
+        ev = {k: v for k, v in batch[0].items() if k.startswith("events")}
+        rep_a, mask_a = batch_representation(ev, "VoxelGrid", BINS, H, W)
+        rep_b, mask_b = batch_representation(
+            compact_event_view(batch[0]), "VoxelGrid", BINS, H, W)
+        np.testing.assert_allclose(np.asarray(rep_a), np.asarray(rep_b),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(mask_a),
+                                      np.asarray(mask_b))
+
+        ev_rep, ev_mask = rep_a, mask_a
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "pad": jax.random.PRNGKey(1)},
+            ev_rep, jnp.asarray(batch[0]["image"]), ev_mask, None, True)
+        tx = build_optimizer({"type": "AdamW", "AdamW": {}}, lambda s: 1e-4)
+        freeze = freeze_mask(variables["params"],
+                             frozen_roots_from_config(model.config))
+        step = make_stage2_train_step(model, freeze, "VoxelGrid", BINS,
+                                      H, W)
+        s_full = create_train_state(model, variables, tx)
+        s_comp = create_train_state(model, variables, tx)
+        s_full, info_full = step(s_full, batch, jax.random.PRNGKey(3))
+        s_comp, info_comp = step(s_comp, compact_stage2_batch(batch),
+                                 jax.random.PRNGKey(3))
+        np.testing.assert_allclose(float(info_comp["loss"]),
+                                   float(info_full["loss"]), rtol=1e-6)
+        np.testing.assert_allclose(float(info_comp["grad_norm"]),
+                                   float(info_full["grad_norm"]),
+                                   rtol=1e-5)
 
     def test_eval_step(self, rng):
         model = EIM(config=small_config("MNN"))

@@ -72,7 +72,7 @@ def main(argv=None):
         save_checkpoint, restore_checkpoint, is_host_driven,
         PlateauController, set_learning_rate)
     from ei_nexus_tpu.train.steps import (
-        make_stage1_train_step, batch_representation)
+        make_stage1_train_step, batch_representation, compact_stage1_batch)
     from ei_nexus_tpu.train.partition import frozen_roots_from_config
     from ei_nexus_tpu.parallel import make_mesh, shard_batch, replicate
     from ei_nexus_tpu.data import DataLoader
@@ -186,21 +186,35 @@ def main(argv=None):
                              resume_skip if epoch == start_epoch else 0)
             t_epoch = time.time()
             epoch_losses = []
+
+            def drain(pending):
+                # fetch the PREVIOUS step's scalars only after the next
+                # step is enqueued: the device pipelines compute while the
+                # host eats the fetch round-trip (through the remote
+                # tunnel that RTT otherwise serializes every step)
+                pstep, pinfo = pending
+                vals = jax.device_get(pinfo)
+                if jax.process_index() == 0:
+                    logger.maybe_status(
+                        pstep, {k: float(v) for k, v in vals.items()},
+                        prefix=f"[stage1 e{epoch}] ")
+                if plateau is not None:
+                    epoch_losses.append(float(vals["loss"]))
+
+            pending = None
             for batch in loader:
-                batch = shard_batch(batch, mesh)
+                batch = shard_batch(compact_stage1_batch(batch), mesh)
                 state, info = step_fn(state, batch,
                                       jax.random.fold_in(rng, global_step))
                 global_step += 1
-                if jax.process_index() == 0:
-                    logger.maybe_status(
-                        global_step,
-                        {k: float(v) for k, v in info.items()},
-                        prefix=f"[stage1 e{epoch}] ")
-                if plateau is not None:
-                    epoch_losses.append(float(info["loss"]))
+                if pending is not None:
+                    drain(pending)
+                pending = (global_step, info)
                 if shutdown.requested or (
                         args.max_steps and global_step >= args.max_steps):
                     break
+            if pending is not None:
+                drain(pending)
             logger.log_info(
                 f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
             if plateau is not None and epoch_losses \
