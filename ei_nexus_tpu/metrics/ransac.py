@@ -28,6 +28,7 @@ Two minimal solvers are available (`solver=`):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -104,10 +105,19 @@ def _triangulate_depths(p0h, p1h, R, t):
     return z0, z1
 
 
-@functools.partial(jax.jit, static_argnames=("n_hypotheses", "solver"))
+# two-phase preemptive scoring (5pt): rank every Nistér candidate on a
+# small random point subset, fully score only each sample's best
+# candidate. EI_NEXUS_RANSAC_TWOPHASE=0 restores exhaustive scoring.
+_TWO_PHASE = os.environ.get("EI_NEXUS_RANSAC_TWOPHASE", "1") == "1"
+_PHASE1_POINTS = 128
+
+
+@functools.partial(jax.jit, static_argnames=("n_hypotheses", "solver",
+                                             "two_phase"))
 def estimate_essential_ransac(
     p0: jax.Array, p1: jax.Array, mask: jax.Array, thresh: jax.Array,
     key: jax.Array, n_hypotheses: int = 512, solver: str = "8pt",
+    two_phase: Optional[bool] = None,
 ):
     """RANSAC essential matrix for one pair (fixed-size, maskable).
 
@@ -116,22 +126,48 @@ def estimate_essential_ransac(
     (one hypothesis per sample) or "5pt" (Nistér minimal solver, up to 10
     candidates per sample — the reference's cv2.findEssentialMat protocol,
     matching_metrics.py:427; see metrics/fivepoint.py).
+
+    two_phase (5pt only, default on): the up-to-10 candidates of one
+    5-sample are near-duplicates in score space, so exhaustively scoring
+    all S*10 over all N points wastes ~10x distance work. Phase 1 scores
+    every candidate on a 128-point random subset (drawn from the same
+    valid mask) and keeps each SAMPLE's best candidate; phase 2 fully
+    scores only those S survivors (S*128 + S*N vs S*10*N point-hypothesis
+    evaluations — ~4.4x less at N=1024). The final argmax/inlier set is
+    computed from full scores, so a phase-1 ranking error inside one
+    sample's candidate set can only matter when two candidates of the
+    SAME sample straddle the global winner — measured neutral on the
+    tests/test_fivepoint.py accuracy table.
     Returns (E (3,3), inliers (N,) bool, n_inliers).
     """
+    if two_phase is None:
+        two_phase = _TWO_PHASE
     logits = jnp.where(mask, 0.0, -jnp.inf)
     if solver == "5pt":
         from .fivepoint import five_point_candidates
-        idx = jax.random.categorical(key, logits,
+        k_samp, k_sub = jax.random.split(key)
+        idx = jax.random.categorical(k_samp, logits,
                                      shape=(n_hypotheses, 5))
         E, valid = five_point_candidates(p0[idx], p1[idx])     # (S,10,3,3)
-        E = E.reshape(-1, 3, 3)
-        valid = valid.reshape(-1)
+        E = jnp.where(jnp.isfinite(E).all((-2, -1), keepdims=True), E, 0.0)
+        if two_phase:
+            sub = jax.random.categorical(k_sub, logits,
+                                         shape=(_PHASE1_POINTS,))
+            d1 = _sym_epi_dist(p0[sub], p1[sub], E)       # (S, 10, P)
+            s1 = jnp.where(valid, (d1 < thresh).sum(-1), -1)
+            cand = jnp.argmax(s1, axis=-1)                # (S,)
+            E = jnp.take_along_axis(
+                E, cand[:, None, None, None], axis=1)[:, 0]
+            valid = jnp.take_along_axis(valid, cand[:, None], 1)[:, 0]
+        else:
+            E = E.reshape(-1, 3, 3)
+            valid = valid.reshape(-1)
     else:
         idx = jax.random.categorical(key, logits,
                                      shape=(n_hypotheses, 8))  # (S, 8)
         E = _eight_point(p0[idx], p1[idx])                     # (S, 3, 3)
         valid = jnp.ones(E.shape[0], bool)
-    E = jnp.where(jnp.isfinite(E).all((-2, -1), keepdims=True), E, 0.0)
+        E = jnp.where(jnp.isfinite(E).all((-2, -1), keepdims=True), E, 0.0)
     d = _sym_epi_dist(p0, p1, E)                          # (S, N)
     inl = (d < thresh) & mask[None]
     scores = jnp.where(valid, inl.sum(-1), -1)
