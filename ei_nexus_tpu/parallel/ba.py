@@ -149,7 +149,9 @@ def ba_solve(problem: BAProblem, iters: int = 10, cg_iters: int = 20,
              damping: float = 1e-4,
              huber_delta: Optional[float] = None,
              z_min: Optional[float] = None,
-             robust: str = "huber"
+             robust: str = "huber",
+             prior_poses: Optional[jax.Array] = None,
+             prior_weight: float = 1.0,
              ) -> Tuple[BAProblem, jax.Array]:
     """Levenberg-Marquardt BA with Schur complement + matrix-free CG.
 
@@ -162,6 +164,17 @@ def ba_solve(problem: BAProblem, iters: int = 10, cg_iters: int = 20,
     the moment the optimization brings them back in front); without it a
     point pushed behind a camera hits the projection z-clamp pole and its
     residual (~1e9 px) dominates the quadratic cost.
+
+    prior_poses/prior_weight: optional Gaussian pose prior (VIO-style
+    odometry regularization): adds residuals prior_weight * log(P @
+    P_prior^-1) per non-fixed pose (Jacobian ~ identity in the
+    left-increment), i.e. Hpp += w^2 I and bp -= w^2 rel, and the LM
+    accept test scores the prior term too. Use when the front-end's
+    keypoint noise is large relative to the baselines (pure reprojection
+    then trades trajectory accuracy for image fit — measured on
+    mini-MVSEC tracks, tools/slam_mvsec.py); prior_weight is in
+    px-per-(rad|m) units: the exchange rate between one unit of pose
+    deviation and one pixel of reprojection error.
 
     Returns (refined problem, per-iteration mean cost (iters+1,): squared-px
     MSE, or mean Huber cost when huber_delta is set).
@@ -198,6 +211,10 @@ def ba_solve(problem: BAProblem, iters: int = 10, cg_iters: int = 20,
 
         eye6 = jnp.eye(6)
         eye3 = jnp.eye(3)
+        if prior_poses is not None:
+            rel = _pose_compose(problem.poses, _pose_inv(prior_poses))
+            Hpp = Hpp + (prior_weight ** 2) * eye6
+            bp = bp - (prior_weight ** 2) * rel
         Hpp_d = Hpp + lm_lambda * eye6
         Hll_d = Hll + lm_lambda * eye3
         Hll_inv = jnp.linalg.inv(Hll_d)                      # (L, 3, 3)
@@ -275,8 +292,16 @@ def ba_solve(problem: BAProblem, iters: int = 10, cg_iters: int = 20,
         if z_min is not None:
             gate = gate * (_obs_z(problem) > z_min)
         n = jnp.maximum(jnp.sum(gate), 1)
+        def with_prior(cost):
+            if prior_poses is not None:
+                rel = _pose_compose(problem.poses,
+                                    _pose_inv(prior_poses))
+                rel = rel * (~problem.fixed_poses[:, None])
+                cost = cost + (prior_weight ** 2) * jnp.sum(rel ** 2) / n
+            return cost
+
         if huber_delta is None:
-            return jnp.sum(gate[:, None] * r**2) / n
+            return with_prior(jnp.sum(gate[:, None] * r**2) / n)
         # Huber cost (matches the IRLS weighting; the accept test must
         # score candidates with the cost actually being minimized)
         d = huber_delta
@@ -286,7 +311,12 @@ def ba_solve(problem: BAProblem, iters: int = 10, cg_iters: int = 20,
         else:
             nr = jnp.sqrt(n2)
             rho = jnp.where(nr <= d, 0.5 * nr**2, d * (nr - 0.5 * d))
-        return jnp.sum(gate * rho) / n
+        cost = jnp.sum(gate * rho) / n
+        if prior_poses is not None:
+            rel = _pose_compose(problem.poses, _pose_inv(prior_poses))
+            rel = rel * (~problem.fixed_poses[:, None])
+            cost = cost + (prior_weight ** 2) * jnp.sum(rel ** 2) / n
+        return cost
 
     def lm_body(carry, _):
         prob, lam, err = carry
