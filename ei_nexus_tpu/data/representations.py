@@ -11,8 +11,10 @@ voxel grid, event stack, distance map), re-designed TPU-first:
    scatter; bin membership is computed as per-bin masks at trace time;
  - batched use is `jax.vmap(events_to_voxel_grid, ...)`.
 
-A numpy host-side path with identical semantics lives in the C++ rasterizer
-(`ei_nexus_tpu/native`) and `host_*` wrappers below for the input pipeline.
+There is deliberately NO host-side rasterizer: the input pipeline ships
+padded raw events (compact wire format, train/steps.py compact_event_view
+with its fused C++ encoder in `ei_nexus_tpu/native`) and every
+representation is built on device inside the jitted step.
 """
 
 from __future__ import annotations

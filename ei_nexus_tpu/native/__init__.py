@@ -1,9 +1,18 @@
-"""Native host-side event rasterization (C++/OpenMP via ctypes).
+"""Native host-side event wire encoder (C++/OpenMP via ctypes).
 
-`lib()` builds (once, cached next to the source) and loads libeventops.so;
-the wrappers mirror `ei_nexus_tpu.data.representations` semantics on the
-host. Falls back to None when no C++ toolchain is available — callers use
-the jax path instead.
+`lib()` builds (once, cached next to the source) and loads libeventops.so.
+The single entry point, `compact_encode`, fuses the production H2D wire
+encode (train/steps.py compact_event_view: float event arrays -> uint16
+fixed-point coords + uint8 polarity + per-row valid counts) into one
+parallel pass — numpy needs ~6 full passes over the ~17 MB batch. Falls
+back to None when no C++ toolchain is available; callers use the numpy
+path instead.
+
+The representation math itself (voxelization, time surfaces, occupancy)
+runs ON DEVICE (data/representations.py) — a deliberate design departure
+from the reference's host-side per-event python loops
+(ref:datasets/visualize.py:23-50, representations.py:67), so no host
+rasterizer lives here.
 """
 
 from __future__ import annotations
@@ -12,7 +21,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -24,7 +33,9 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
 def build(force: bool = False) -> Optional[str]:
@@ -55,68 +66,33 @@ def lib() -> Optional[ctypes.CDLL]:
     if path is None:
         return None
     L = ctypes.CDLL(path)
-    i64, i32 = ctypes.c_int64, ctypes.c_int
-    L.voxel_grid.argtypes = [_f32p, _f32p, _f64p, _f32p, i64, i32, i32, i32,
-                             i32, _f32p]
-    L.time_surface.argtypes = [_f32p, _f32p, _f64p, _f32p, i64, i32, i32,
-                               i32, _f32p]
-    L.event_stack.argtypes = [_f32p, _f32p, _f64p, _f32p, i64, i32, i32,
-                              i32, _f32p]
-    L.accumulation_image.argtypes = [_f32p, _f32p, i64, i32, i32, _f32p]
-    for fn in (L.voxel_grid, L.time_surface, L.event_stack,
-               L.accumulation_image):
-        fn.restype = None
+    i64 = ctypes.c_int64
+    L.compact_encode.argtypes = [_f32p, _f32p, _f32p, _u8p, i64, i64,
+                                 ctypes.c_float, _u16p, _u16p, _u8p, _i32p]
+    L.compact_encode.restype = None
     _LIB = L
     return _LIB
 
 
-def _prep(x, y, t, p):
-    return (np.ascontiguousarray(x, np.float32),
-            np.ascontiguousarray(y, np.float32),
-            np.ascontiguousarray(t, np.float64),
-            np.ascontiguousarray(p, np.float32))
-
-
-def voxel_grid(x, y, t, p, bins: int, height: int, width: int,
-               normalize: bool = True) -> np.ndarray:
+def compact_encode(x: np.ndarray, y: np.ndarray, p: np.ndarray,
+                   valid: np.ndarray, scale: float
+                   ) -> Optional[Tuple[np.ndarray, ...]]:
+    """(B, L) float event arrays -> (xq u16, yq u16, pq u8, n i32) in one
+    fused OpenMP pass, or None when the native library is unavailable or
+    the inputs do not match the fast path's layout."""
     L = lib()
-    assert L is not None, "native event ops unavailable"
-    x, y, t, p = _prep(x, y, t, p)
-    out = np.empty((bins, height, width), np.float32)
-    L.voxel_grid(x, y, t, p, len(x), bins, height, width, int(normalize),
-                 out)
-    return out
-
-
-def time_surface(x, y, t, p, bins: int, height: int, width: int
-                 ) -> np.ndarray:
-    L = lib()
-    assert L is not None, "native event ops unavailable"
-    x, y, t, p = _prep(x, y, t, p)
-    out = np.empty((bins, height, width), np.float32)
-    L.time_surface(x, y, t, p, len(x), bins, height, width, out)
-    return out
-
-
-def event_stack(x, y, t, p, bins: int, height: int, width: int
-                ) -> np.ndarray:
-    L = lib()
-    assert L is not None, "native event ops unavailable"
-    x, y, t, p = _prep(x, y, t, p)
-    out = np.empty((bins, height, width), np.float32)
-    L.event_stack(x, y, t, p, len(x), bins, height, width, out)
-    return out
-
-
-def accumulation_image(x, y, height: int, width: int) -> np.ndarray:
-    L = lib()
-    assert L is not None, "native event ops unavailable"
-    x = np.ascontiguousarray(x, np.float32)
-    y = np.ascontiguousarray(y, np.float32)
-    out = np.empty((height, width), np.float32)
-    L.accumulation_image(x, y, len(x), height, width, out)
-    return out
-
-
-def available() -> bool:
-    return lib() is not None
+    if L is None:
+        return None
+    if not (x.dtype == y.dtype == p.dtype == np.float32) or x.ndim != 2:
+        return None
+    x = np.ascontiguousarray(x)
+    y = np.ascontiguousarray(y)
+    p = np.ascontiguousarray(p)
+    v = np.ascontiguousarray(valid).view(np.uint8)
+    B, n_ev = x.shape
+    xq = np.empty((B, n_ev), np.uint16)
+    yq = np.empty((B, n_ev), np.uint16)
+    pq = np.empty((B, n_ev), np.uint8)
+    n = np.empty((B,), np.int32)
+    L.compact_encode(x, y, p, v, B, n_ev, np.float32(scale), xq, yq, pq, n)
+    return xq, yq, pq, n

@@ -61,21 +61,37 @@ def compact_event_view(view: Mapping[str, np.ndarray],
     "K"); everything else is dropped from the transfer.
     """
     x = np.asarray(view["events_x"])
+    y = np.asarray(view["events_y"])
+    pol = np.asarray(view["events_p"])
     valid = np.asarray(view["events_valid"])
-    n = valid.sum(axis=1).astype(np.int32)
     t = np.asarray(view["events_t"])
+    enc = None
+    if x.ndim == 2:
+        # fused C++/OpenMP single-pass encoder when available (the numpy
+        # path below makes ~6 passes over the ~17 MB batch)
+        from ..native import compact_encode
+        enc = compact_encode(x.astype(np.float32, copy=False),
+                             y.astype(np.float32, copy=False),
+                             pol.astype(np.float32, copy=False),
+                             valid, EVENT_COORD_SCALE)
+    if enc is not None:
+        xq, yq, pq, n = enc
+    else:
+        n = valid.sum(axis=-1).astype(np.int32)
+        xq = np.round(x * EVENT_COORD_SCALE).astype(np.uint16)
+        yq = np.round(y * EVENT_COORD_SCALE).astype(np.uint16)
+        pq = pol.astype(np.uint8)
     if t.dtype == np.float64:
         # legacy absolute stamps: shift before narrowing (see the
         # relative-f32 note in data/mvsec.py view(), which now does this
         # at the source — f32 inputs pass through bit-identically)
-        t0 = t[:, :1] * (n > 0)[:, None]
+        t0 = t[..., :1] * (n > 0)[..., None]
         t = ((t - t0) * valid).astype(np.float32)
     out = {
-        "events_xq": np.round(x * EVENT_COORD_SCALE).astype(np.uint16),
-        "events_yq": np.round(np.asarray(view["events_y"])
-                              * EVENT_COORD_SCALE).astype(np.uint16),
-        "events_tr": t.astype(np.float32),
-        "events_pq": np.asarray(view["events_p"]).astype(np.uint8),
+        "events_xq": xq,
+        "events_yq": yq,
+        "events_tr": np.asarray(t, np.float32),
+        "events_pq": pq,
         "events_n": n,
     }
     for k in keep:

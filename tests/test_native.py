@@ -1,98 +1,82 @@
-"""Native (C++/OpenMP) event rasterizer vs the jax reference kernels."""
+"""Native (C++/OpenMP) compact wire encoder vs the numpy path.
+
+The native module's single job is the production H2D encode
+(train/steps.py compact_event_view); these tests pin exact equality with
+the numpy fallback and that the encoded batch decodes to the identical
+device representation.
+"""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from ei_nexus_tpu import native
-from ei_nexus_tpu.data.representations import (
-    events_to_voxel_grid, events_to_time_surface, events_to_event_stack,
-    events_to_accumulation_image)
+from ei_nexus_tpu.train.steps import (EVENT_COORD_SCALE,
+                                      compact_event_view)
 
-pytestmark = pytest.mark.skipif(not native.available(),
+pytestmark = pytest.mark.skipif(native.lib() is None,
                                 reason="no C++ toolchain")
 
 
-def make_events(rng, n, H, W):
-    x = rng.uniform(0, W - 1, n).astype(np.float32)
-    y = rng.uniform(0, H - 1, n).astype(np.float32)
-    t = np.sort(rng.uniform(0, 0.4, n))
-    p = rng.integers(0, 2, n).astype(np.float32)
-    return x, y, t, p
+def batch_events(rng, B=3, L=4096, n=2000, H=260, W=346, frac=False):
+    x = rng.integers(0, W, (B, L)).astype(np.float32)
+    y = rng.integers(0, H, (B, L)).astype(np.float32)
+    if frac:
+        # 1/64-px grid keeps the fixed-point encode exact so the
+        # numpy-vs-native comparison is bitwise even off integers
+        x += rng.integers(0, 64, (B, L)) / 64.0
+        y += rng.integers(0, 64, (B, L)) / 64.0
+    t = np.sort(rng.uniform(0, 0.4, (B, L)), axis=1).astype(np.float32)
+    p = rng.integers(0, 2, (B, L)).astype(np.float32)
+    valid = np.zeros((B, L), bool)
+    valid[:, :n] = True
+    for arr in (x, y, t, p):
+        arr[~valid] = 0.0
+    return {"events_x": x, "events_y": y, "events_t": t, "events_p": p,
+            "events_valid": valid}
 
 
-class TestNativeParity:
-    def test_voxel_grid_unnormalized(self, rng):
-        H, W, bins = 32, 40, 8
-        x, y, t, p = make_events(rng, 5000, H, W)
-        got = native.voxel_grid(x, y, t, p, bins, H, W, normalize=False)
-        want = np.asarray(events_to_voxel_grid(
-            jnp.asarray(x), jnp.asarray(y), jnp.asarray(t), jnp.asarray(p),
-            bins=bins, height=H, width=W, normalize=False))
-        np.testing.assert_allclose(got, want, atol=1e-4)
+class TestCompactEncode:
+    @pytest.mark.parametrize("frac", [False, True])
+    def test_matches_numpy(self, rng, frac):
+        view = batch_events(rng, frac=frac)
+        got = native.compact_encode(
+            view["events_x"], view["events_y"], view["events_p"],
+            view["events_valid"], EVENT_COORD_SCALE)
+        assert got is not None
+        xq, yq, pq, n = got
+        np.testing.assert_array_equal(
+            xq, np.round(view["events_x"] * EVENT_COORD_SCALE)
+            .astype(np.uint16))
+        np.testing.assert_array_equal(
+            yq, np.round(view["events_y"] * EVENT_COORD_SCALE)
+            .astype(np.uint16))
+        np.testing.assert_array_equal(
+            pq, view["events_p"].astype(np.uint8))
+        np.testing.assert_array_equal(
+            n, view["events_valid"].sum(1).astype(np.int32))
 
-    def test_voxel_grid_normalized(self, rng):
-        H, W, bins = 16, 16, 4
-        n = 500
-        x = rng.integers(0, W, n).astype(np.float32)
-        y = rng.integers(0, H, n).astype(np.float32)
-        t = np.sort(rng.uniform(0, 1, n))
-        p = rng.integers(0, 2, n).astype(np.float32)
-        got = native.voxel_grid(x, y, t, p, bins, H, W, normalize=True)
-        want = np.asarray(events_to_voxel_grid(
-            jnp.asarray(x), jnp.asarray(y), jnp.asarray(t), jnp.asarray(p),
-            bins=bins, height=H, width=W, normalize=True))
-        np.testing.assert_allclose(got, want, atol=1e-3)
+    def test_compact_event_view_uses_native(self, rng):
+        """The production entry point produces identical wire dicts with
+        and without the native library."""
+        view = batch_events(rng)
+        fast = compact_event_view(view, keep=())
+        # force the numpy fallback by breaking the fast-path layout
+        view64 = dict(view)
+        view64["events_x"] = view["events_x"].astype(np.float64)
+        slow = compact_event_view(view64, keep=())
+        for k in fast:
+            np.testing.assert_array_equal(fast[k], slow[k], err_msg=k)
 
-    def test_time_surface(self, rng):
-        H, W, bins = 24, 24, 6
-        x, y, t, p = make_events(rng, 3000, H, W)
-        got = native.time_surface(x, y, t, p, bins, H, W)
-        want = np.asarray(events_to_time_surface(
-            jnp.asarray(x), jnp.asarray(y), jnp.asarray(t), jnp.asarray(p),
-            bins=bins, height=H, width=W))
-        np.testing.assert_allclose(got, want, atol=1e-5)
-
-    def test_event_stack(self, rng):
-        H, W, bins = 24, 24, 4
-        x, y, t, p = make_events(rng, 3000, H, W)
-        got = native.event_stack(x, y, t, p, bins, H, W)
-        want = np.asarray(events_to_event_stack(
-            jnp.asarray(x), jnp.asarray(y), jnp.asarray(t), jnp.asarray(p),
-            bins=bins, height=H, width=W))
-        np.testing.assert_allclose(got, want, atol=1e-5)
-
-    def test_accumulation(self, rng):
-        H, W = 20, 30
-        x, y, t, p = make_events(rng, 1000, H, W)
-        got = native.accumulation_image(x, y, H, W)
-        want = np.asarray(events_to_accumulation_image(
-            jnp.asarray(x), jnp.asarray(y), height=H, width=W))
-        np.testing.assert_allclose(got, want)
-
-    def test_empty_events(self):
-        out = native.voxel_grid(np.zeros(0, np.float32),
-                                np.zeros(0, np.float32),
-                                np.zeros(0, np.float64),
-                                np.zeros(0, np.float32), 4, 8, 8)
-        assert out.shape == (4, 8, 8) and (out == 0).all()
-
-    def test_throughput_sane(self, rng):
-        """Native path should rasterize clearly faster than the reference's
-        python loop (~5M events/s at 0.2M events / 40ms). Unloaded it does
-        >10M/s; the bar is 6M/s because best-of-5 still degrades ~30% when
-        the suite shares the host with a concurrent CPU training run
-        (OpenMP threads contend for every core)."""
-        import time
-        H, W, bins = 260, 346, 16
-        x, y, t, p = make_events(rng, 200_000, H, W)
-        native.voxel_grid(x, y, t, p, bins, H, W)  # warm
-        # best-of-N: the mean is load-sensitive (CI shares the host with
-        # concurrent benches); the best iteration reflects the code's speed
-        dt = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            native.voxel_grid(x, y, t, p, bins, H, W)
-            dt = min(dt, time.perf_counter() - t0)
-        rate = 200_000 / dt
-        assert rate > 6e6, f"{rate/1e6:.1f} M events/s"
+    def test_empty_rows(self):
+        view = {"events_x": np.zeros((2, 16), np.float32),
+                "events_y": np.zeros((2, 16), np.float32),
+                "events_t": np.zeros((2, 16), np.float32),
+                "events_p": np.zeros((2, 16), np.float32),
+                "events_valid": np.zeros((2, 16), bool)}
+        got = native.compact_encode(
+            view["events_x"], view["events_y"], view["events_p"],
+            view["events_valid"], EVENT_COORD_SCALE)
+        assert got is not None
+        assert (got[3] == 0).all()
+        enc = compact_event_view(view)
+        assert (np.asarray(enc["events_n"]) == 0).all()
