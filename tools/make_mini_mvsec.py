@@ -236,7 +236,11 @@ def main():
              ("indoor_flying", "indoor_flying3", args.train_frames + 60,
               3.1, 30),
              ("indoor_flying", "indoor_flying4", args.val_frames, 2.1, 40),
-             ("outdoor_day", "outdoor_day1", args.val_frames, 4.2, 70)]
+             ("outdoor_day", "outdoor_day1", args.val_frames, 4.2, 70),
+             # the reference's 4th TRAIN sequence (datasets/MVSEC.py:1016);
+             # its (20,-40) crop eats only 60 frames, so train_frames keeps
+             # it the longest split member — a 4th unseen-texture domain
+             ("outdoor_day", "outdoor_day2", args.train_frames, 5.3, 80)]
     if args.sequences:
         keep = set(args.sequences.split(","))
         specs = [sp for sp in specs if sp[1] in keep]

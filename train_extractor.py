@@ -180,6 +180,12 @@ def main(argv=None):
     # -- epoch loop --------------------------------------------------------
     global_step = int(state.step)
     epochs = tcfg["epochs"]
+    # epoch recorded in the "final" checkpoint: the in-progress epoch when
+    # stopping early (SIGTERM / --max-steps) so `--resume .../final`
+    # continues the exact trajectory — the axon tunnel client leaks ~one
+    # host batch per device_put'd step, so long runs MUST be chunked into
+    # multiple processes (see tools/train_chunked.sh).
+    end_epoch = epochs
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, epochs):
             loader.set_epoch(epoch,
@@ -244,13 +250,17 @@ def main(argv=None):
                         os.path.join(logger.run_dir, "checkpoints"), state,
                         epoch, name="preempted")
                     logger.log_info(f"shutdown requested; saved {path}")
+                end_epoch = epoch
                 break
             if args.max_steps and global_step >= args.max_steps:
+                end_epoch = epoch
                 break
     if jax.process_index() == 0:
         path = save_checkpoint(os.path.join(logger.run_dir, "checkpoints"),
-                               state, epochs, name="final")
+                               state, end_epoch, name="final")
         logger.log_info(f"final checkpoint: {path}")
+        logger.log_info(
+            f"stopped at step {global_step}, epoch {end_epoch}/{epochs}")
     logger.close()
     return state
 

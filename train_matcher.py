@@ -153,6 +153,9 @@ def main(argv=None):
     state = replicate(state, mesh)
     global_step = int(state.step)
     epochs = tcfg["epochs"]
+    # see train_extractor.py: early-stopped "final" records the in-progress
+    # epoch so chunked runs (--max-steps + --resume) continue exactly
+    end_epoch = epochs
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, epochs):
             loader.set_epoch(epoch,
@@ -210,12 +213,16 @@ def main(argv=None):
                         os.path.join(logger.run_dir, "checkpoints"), state,
                         epoch, name="preempted")
                     logger.log_info(f"shutdown requested; saved {path}")
+                end_epoch = epoch
                 break
             if args.max_steps and global_step >= args.max_steps:
+                end_epoch = epoch
                 break
     if jax.process_index() == 0:
         save_checkpoint(os.path.join(logger.run_dir, "checkpoints"), state,
-                        epochs, name="final")
+                        end_epoch, name="final")
+        logger.log_info(
+            f"stopped at step {global_step}, epoch {end_epoch}/{epochs}")
     logger.close()
     return state
 
