@@ -325,6 +325,30 @@ class TestStage2:
                                    float(info_full["grad_norm"]),
                                    rtol=1e-5)
 
+    def test_bucketed_wire_equality(self, rng):
+        """Bucket truncation of the tail-padded compact columns is
+        LOSSLESS: the decoded device representation is bit-identical to
+        the full-column wire at any valid count below the bucket."""
+        from ei_nexus_tpu.train.steps import (EVENT_BUCKETS,
+                                              bucket_event_view,
+                                              compact_event_view)
+        batch = synth_batch(rng)
+        view = batch[0]
+        full = compact_event_view(view, bucket=False)
+        buck = bucket_event_view(full, buckets=(128, 256, 512))
+        n_max = int(full["events_n"].max())
+        assert buck["events_xq"].shape[-1] >= n_max
+        assert buck["events_xq"].shape[-1] <= full["events_xq"].shape[-1]
+        rep_a, mask_a = batch_representation(full, "VoxelGrid", BINS, H, W)
+        rep_b, mask_b = batch_representation(buck, "VoxelGrid", BINS, H, W)
+        np.testing.assert_array_equal(np.asarray(rep_a), np.asarray(rep_b))
+        np.testing.assert_array_equal(np.asarray(mask_a),
+                                      np.asarray(mask_b))
+        # a count above every bucket falls back to the full column length
+        same = bucket_event_view(full, buckets=(8,))
+        assert same["events_xq"].shape == full["events_xq"].shape
+        assert EVENT_BUCKETS == tuple(sorted(EVENT_BUCKETS))
+
     def test_eval_step(self, rng):
         model = EIM(config=small_config("MNN"))
         batch = synth_batch(rng)
