@@ -103,7 +103,11 @@ def main(argv=None):
 
     def superpoint_body(carry, ev, image):
         c = event_vgg_body(carry, ev, image)
-        out = im_mod.apply(sub_vars("image_extractor"), image)
+        # the carry MUST flow into every stage input: a loop-invariant
+        # image lets XLA hoist the whole extractor out of the timing
+        # scan (measured: 0.5 ms "superpoint" = 117% MFU, i.e. hoisted)
+        out = im_mod.apply(sub_vars("image_extractor"),
+                           image + carry * 1e-6)
         return c + jnp.sum(out["sparse_positions"]) * 1e-9
 
     def full_body(carry, ev, image):
@@ -113,7 +117,7 @@ def main(argv=None):
         e = dict(ev)
         e["events_x"] = ev["events_x"] + carry * 1e-6
         rep, mask = batch_representation(e, "VoxelGrid", bins, H, W)
-        _, _, m = model.apply(variables, rep, image, mask)
+        _, _, m = model.apply(variables, rep, image + carry * 1e-6, mask)
         return jnp.sum(m["matching_scores0"]) * 1e-6
 
     prefixes = [("voxelize", voxel_body),
