@@ -126,12 +126,25 @@ def run_bench_e2e():
 
     max_batches = int(os.environ.get("EI_NEXUS_BENCH_E2E_BATCHES", "0"))
 
+    from ei_nexus_tpu.data import device_prefetch
+
     def one_pass(device: bool):
         loader.set_epoch(0)
         outs = []
         t0 = time.perf_counter()
-        for batch in loader:
-            enc = compact_event_view(batch[0], keep=("image",))
+        if device:
+            # encode + H2D on a background thread, 2 batches ahead: the
+            # tunneled transfer overlaps the in-flight batch's compute
+            # instead of serializing with it (EI_NEXUS_DEVICE_PREFETCH=0
+            # restores the inline path for A/B)
+            it = device_prefetch(
+                iter(loader),
+                lambda b: jax.device_put(
+                    compact_event_view(b[0], keep=("image",))))
+        else:
+            it = (compact_event_view(b[0], keep=("image",))
+                  for b in loader)
+        for enc in it:
             if device:
                 outs.append(forward(variables, enc))
             else:

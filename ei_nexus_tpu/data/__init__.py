@@ -14,7 +14,7 @@ from . import interpolator
 from . import augment
 from . import mvsec
 from . import ec
-from .pipeline import DataLoader, collate
+from .pipeline import DataLoader, collate, device_prefetch
 
 __all__ = ["representations", "interpolator", "augment", "mvsec", "ec",
            "DataLoader", "collate"]

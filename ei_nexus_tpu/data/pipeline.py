@@ -15,6 +15,7 @@ python loops from the critical path.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -145,3 +146,48 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+def device_prefetch(iterable, put, depth: int = 2):
+    """Apply `put` (device_put / shard_batch / encode+put) to batches on a
+    background thread, `depth` ahead of the consumer.
+
+    The tunneled H2D transfer is fully serial with device compute when
+    `put` runs inline in the step loop (measured: e2e bench sustains 46
+    pairs/s against a 355 pairs/s device rate with host prep at only
+    31%). Overlapping the NEXT batch's transfer with the CURRENT step's
+    compute hides it. jax dispatch and device_put are thread-safe; the
+    queue depth bounds device-side buffer usage to `depth` extra batches.
+
+    Worker exceptions re-raise at the consumer. Disable with
+    EI_NEXUS_DEVICE_PREFETCH=0 (falls back to inline `put`).
+    """
+    if os.environ.get("EI_NEXUS_DEVICE_PREFETCH", "1") == "0":
+        for item in iterable:
+            yield put(item)
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for item in iterable:
+                if stop.is_set():
+                    return
+                q.put(put(item))
+            q.put(None)
+        except BaseException as e:
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

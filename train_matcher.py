@@ -178,8 +178,15 @@ def main(argv=None):
                     epoch_losses.append(float(vals["loss"]))
 
             pending = None
-            for batch in loader:
-                batch = shard_batch(compact_stage2_batch(batch), mesh)
+            put = lambda b: shard_batch(compact_stage2_batch(b), mesh)  # noqa: E731
+            if os.environ.get("EI_NEXUS_TRAIN_DEVICE_PREFETCH") == "1":
+                # encode+H2D one batch ahead on a thread (opt-in until
+                # A/B'd through the tunnel; see data.device_prefetch)
+                from ei_nexus_tpu.data import device_prefetch
+                batches = device_prefetch(iter(loader), put)
+            else:
+                batches = (put(b) for b in loader)
+            for batch in batches:
                 state, info = step_fn(state, batch,
                                       jax.random.fold_in(rng, global_step))
                 global_step += 1
