@@ -285,6 +285,29 @@ class TestPipeline:
         with pytest.raises(RuntimeError, match="boom"):
             list(dl)
 
+    def test_device_prefetch_order_and_errors(self):
+        from ei_nexus_tpu.data import device_prefetch
+        items = list(range(7))
+        out = list(device_prefetch(iter(items), lambda x: x * 10))
+        assert out == [x * 10 for x in items]  # order preserved
+
+        def bad_put(x):
+            if x == 3:
+                raise ValueError("put failed")
+            return x
+
+        with pytest.raises(ValueError, match="put failed"):
+            list(device_prefetch(iter(items), bad_put))
+
+        # inline fallback honors the kill switch
+        import os
+        os.environ["EI_NEXUS_DEVICE_PREFETCH"] = "0"
+        try:
+            out = list(device_prefetch(iter(items), lambda x: x + 1))
+            assert out == [x + 1 for x in items]
+        finally:
+            del os.environ["EI_NEXUS_DEVICE_PREFETCH"]
+
 
 class TestAugment:
     def test_pair_augmentation_shapes_and_consistency(self, rng):
