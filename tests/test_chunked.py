@@ -88,3 +88,22 @@ def test_chunked_equals_uninterrupted(mini_data, tmp_path):
         np.testing.assert_array_equal(np.asarray(leaf),
                                       np.asarray(lb[path]),
                                       err_msg=str(path))
+
+
+def test_reached_step_primes_fresh_supervisor(tmp_path):
+    """A fresh supervisor process must prime its step budget from the step
+    prior chunks reached (parsed from run logs), not restart at 0 — round-4b
+    measured a whole wasted process cycle (start + restore + 1 step) when a
+    second `train_chunked.py` invocation reused an --out with 1200 steps
+    already trained."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import train_chunked as tc
+
+    assert tc.reached_step(str(tmp_path)) == 0
+    for name, steps in (("run_a", (400, 1200)), ("run_b", (700,))):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "log.txt", "w") as f:
+            for s in steps:
+                f.write(f"blah\nstopped at step {s}, epoch 3/60\n")
+    assert tc.reached_step(str(tmp_path)) == 1200

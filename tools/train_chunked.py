@@ -33,6 +33,26 @@ def newest_final(out_root: str) -> str | None:
     return max(finals, key=os.path.getmtime) if finals else None
 
 
+_STOP_RE = re.compile(r"stopped at step (\d+), epoch (\d+)/(\d+)")
+
+
+def reached_step(out_root: str) -> int:
+    """Highest global step any prior chunk under `out_root` reached.
+
+    A fresh supervisor process must prime its step budget from this, not
+    from 0 — otherwise the first chunk after an external resume gets
+    max_steps <= the already-reached step and burns a whole process
+    start/compile/restore cycle advancing a single step."""
+    hi = 0
+    for log in glob.glob(os.path.join(out_root, "*", "log.txt")):
+        try:
+            for m in _STOP_RE.finditer(open(log).read()):
+                hi = max(hi, int(m.group(1)))
+        except OSError:
+            pass
+    return hi
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--trainer", required=True,
@@ -51,8 +71,8 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "chunked.log")
-    done_re = re.compile(r"stopped at step (\d+), epoch (\d+)/(\d+)")
-    step_hi = 0
+    done_re = _STOP_RE
+    step_hi = reached_step(args.out)
     for chunk in range(args.max_chunks):
         step_hi += args.chunk_steps
         cmd = [sys.executable, os.path.join(REPO, args.trainer),
@@ -80,6 +100,8 @@ def main(argv=None):
             print(f"[chunk {chunk}] training complete at step {m.group(1)}"
                   f" ({m.group(2)}/{m.group(3)} epochs)", flush=True)
             return 0
+        if m:  # keep the budget anchored to the step actually reached
+            step_hi = max(step_hi, int(m.group(1)))
     print("max chunks exhausted before epochs completed", flush=True)
     return 1
 
