@@ -14,6 +14,12 @@ tests/test_preemption.py).
 usage:
   python tools/train_chunked.py --trainer train_matcher.py \
       --chunk-steps 1500 --out runs/stage2_chunks -- [trainer args ...]
+
+`--out` must be PER-EXPERIMENT: both the resume checkpoint (newest
+*/checkpoints/final) and the step-budget priming (the "stopped at step"
+lines in */log.txt) trust every run directory under it. Reusing an
+--out across configs/stages resumes the wrong weights and mis-primes
+the budget.
 """
 
 from __future__ import annotations
@@ -46,8 +52,11 @@ def reached_step(out_root: str) -> int:
     hi = 0
     for log in glob.glob(os.path.join(out_root, "*", "log.txt")):
         try:
-            for m in _STOP_RE.finditer(open(log).read()):
-                hi = max(hi, int(m.group(1)))
+            with open(log) as f:
+                for line in f:
+                    m = _STOP_RE.search(line)
+                    if m:
+                        hi = max(hi, int(m.group(1)))
         except OSError:
             pass
     return hi
@@ -72,7 +81,11 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     log_path = os.path.join(args.out, "chunked.log")
     done_re = _STOP_RE
-    step_hi = reached_step(args.out)
+    # Prime the budget from prior chunks ONLY when there is a checkpoint
+    # to resume from — logs without checkpoints (moved/deleted finals)
+    # would otherwise hand the first chunk a budget thousands of steps
+    # above its actual restored step, defeating the per-process leak cap.
+    step_hi = reached_step(args.out) if newest_final(args.out) else 0
     for chunk in range(args.max_chunks):
         step_hi += args.chunk_steps
         cmd = [sys.executable, os.path.join(REPO, args.trainer),
@@ -92,7 +105,10 @@ def main(argv=None):
             print(f"[chunk {chunk}] trainer failed rc={r.returncode}; "
                   f"see {log_path}", flush=True)
             return r.returncode
-        tail = open(log_path).read()[-4000:]
+        with open(log_path, "rb") as lf:
+            lf.seek(0, os.SEEK_END)
+            lf.seek(max(0, lf.tell() - 4000))
+            tail = lf.read().decode("utf-8", errors="replace")
         m = None
         for m in done_re.finditer(tail):
             pass
