@@ -233,6 +233,54 @@ class TestStage1:
             state.params["image_extractor"], im_params0)
         assert int(state.step) == 8
 
+    def test_bucket_transition_resume_bit_exact(self, rng, tmp_path):
+        """Chunk boundary AT a wire-bucket transition: checkpoint after
+        the small-bucket batches, restore into a FRESH state, and continue
+        on batches whose compact columns land in a larger bucket — a new
+        jit signature compiled by the resumed process. This is the
+        production recompile+resume event at a tools/train_chunked.py
+        chunk boundary; the trajectory must equal the uninterrupted one
+        bit-exactly (CPU f32)."""
+        from ei_nexus_tpu.train.steps import (bucket_event_view,
+                                              compact_event_view)
+        model, state0, step, _ = self._setup(rng)
+        buckets = (128, 512)
+
+        def wire(batch):
+            enc = compact_event_view(batch[0], keep=("image",),
+                                     bucket=False)
+            return (bucket_event_view(enc, buckets=buckets),)
+
+        data_rng = np.random.default_rng(7)
+        batches = [wire(synth_batch(data_rng, n_events=n,
+                                    with_depth=False))
+                   for n in (100, 100, 400, 400)]
+        assert batches[0][0]["events_xq"].shape[-1] == 128
+        assert batches[2][0]["events_xq"].shape[-1] == 512
+
+        sa = state0
+        for i, b in enumerate(batches):
+            sa, _ = step(sa, b, jax.random.PRNGKey(i))
+
+        sb = state0
+        for i in (0, 1):
+            sb, _ = step(sb, batches[i], jax.random.PRNGKey(i))
+        path = save_checkpoint(str(tmp_path), sb, epoch=0)
+        # fresh process stand-in: new model/state/step (separate jit
+        # cache), template state re-initialized from a different data rng
+        _, fresh, step2, _ = self._setup(np.random.default_rng(99))
+        sc, _ = restore_checkpoint(path, fresh)
+        for i in (2, 3):
+            sc, _ = step2(sc, batches[i], jax.random.PRNGKey(i))
+
+        assert int(sa.step) == int(sc.step) == 4
+        la = jax.tree_util.tree_leaves_with_path(sa.params)
+        lc = dict(jax.tree_util.tree_leaves_with_path(sc.params))
+        for p, leaf in la:
+            np.testing.assert_array_equal(np.asarray(leaf),
+                                          np.asarray(lc[p]),
+                                          err_msg=str(p))
+
     def test_data_parallel_mesh(self, rng):
         """Same step under an 8-device data mesh: runs and matches the
         single-device loss."""
