@@ -202,7 +202,47 @@ def _det_poly(bx, by, b1):
     return out                                                   # (S, 11)
 
 
-def _real_roots_deg10(coeffs, n_grid: int = 256, n_bisect: int = 26):
+def _homog_eval(c, t):
+    """h(t) = sum_i c_i sin^i t cos^(10-i) t and dh/dt, branch-free.
+
+    Horner form in whichever of tan t / cot t is <= 1 in magnitude:
+      |sin| <= |cos|:  h = cos^10 P(tan t),
+                       h' = cos^8 (P'(tan t) - 10 sin cos P(tan t))
+      else:            h = sin^10 Q(cot t),   Q = reversed coeffs
+                       h' = sin^8 (10 sin cos Q(cot t) - Q'(cot t))
+    Two 10-step Horner chains (value + derivative fused) replace the 11
+    separate integer_pow term stacks of the original evaluator AND give
+    the derivative Newton needs for free. c: (..., 11); t broadcastable.
+    """
+    s, co = jnp.sin(t), jnp.cos(t)
+    use_tan = jnp.abs(s) <= jnp.abs(co)
+    denom = jnp.where(use_tan, co, s)
+    x = jnp.where(use_tan, s, co) / jnp.where(
+        jnp.abs(denom) < 1e-30, 1e-30, denom)
+
+    def horner(coeffs_desc, x):
+        # value and derivative in one pass
+        p = jnp.zeros_like(x)
+        dp = jnp.zeros_like(x)
+        for a in coeffs_desc:
+            dp = dp * x + p
+            p = p * x + a
+        return p, dp
+
+    cs = [c[..., i] for i in range(11)]
+    p_t, dp_t = horner(cs[::-1], x)          # P(tan t), P'(tan t)
+    p_c, dp_c = horner(cs, x)                # Q(cot t), Q'(cot t)
+    co2, s2 = co * co, s * s
+    co8, s8 = (co2 * co2) ** 2, (s2 * s2) ** 2
+    sc = s * co
+    h = jnp.where(use_tan, co8 * co2 * p_t, s8 * s2 * p_c)
+    dh = jnp.where(use_tan, co8 * (dp_t - 10.0 * sc * p_t),
+                   s8 * (10.0 * sc * p_c - dp_c))
+    return h, dh
+
+
+def _real_roots_deg10(coeffs, n_grid: int = 256, n_bisect: int = 10,
+                      n_newton: int = 3):
     """Real roots of ascending-coefficient degree-10 polynomials.
 
     coeffs: (S, 11). Returns (roots (S, 10), valid (S, 10)). Uses the
@@ -210,9 +250,13 @@ def _real_roots_deg10(coeffs, n_grid: int = 256, n_bisect: int = 26):
     cos^(10-i) t, which is finite and stable over t in (-pi/2, pi/2),
     so arbitrarily large real roots are found without scaling games.
 
-    n_bisect=26 halvings of the pi/(n_grid-1) bracket reach ~2e-10 in t —
-    already below f32 resolution of the t variable (the inputs are f32);
-    the original 48 spent 22 sequential no-op iterations.
+    Round-5: the sequential depth is the measured cost (tools/
+    bench_pose.py: 26 bisections = 6.5 of the 7.3 ms/batch RANSAC —
+    tiny per-step kernels, latency-bound). Now n_bisect bisections
+    shrink the grid bracket to ~3e-6, then n_newton bracket-clamped
+    Newton steps (quadratic near a simple root; the grid cell isolates
+    one sign change) reach f32 resolution — 13 sequential steps instead
+    of 26, same accuracy (tests/test_fivepoint.py unchanged).
     """
     scale = jnp.max(jnp.abs(coeffs), axis=-1, keepdims=True)
     c = coeffs / jnp.maximum(scale, 1e-30)
@@ -236,19 +280,26 @@ def _real_roots_deg10(coeffs, n_grid: int = 256, n_bisect: int = 26):
         lo = ts[idx]
         hi = ts[idx + 1]
 
-        def hv(t):
-            return hterms(t) @ ci
-
         def body(carry, _):
             lo, hi, f_lo = carry
             mid = 0.5 * (lo + hi)
-            f_m = hv(mid)
+            f_m, _ = _homog_eval(ci, mid)
             left = f_lo * f_m <= 0
             return (jnp.where(left, lo, mid), jnp.where(left, mid, hi),
                     jnp.where(left, f_lo, f_m)), None
-        (lo, hi, _), _ = jax.lax.scan(body, (lo, hi, hv(lo)), None,
+        f_lo0, _ = _homog_eval(ci, lo)
+        (lo, hi, _), _ = jax.lax.scan(body, (lo, hi, f_lo0), None,
                                       length=n_bisect)
-        return jnp.tan(0.5 * (lo + hi)), valid
+
+        def newton(t, _):
+            f, df = _homog_eval(ci, t)
+            step = f / jnp.where(jnp.abs(df) < 1e-30, 1e-30, df)
+            # clamp into the isolating bracket: a diverging step (near-
+            # multiple root) degrades gracefully to the bracket bound
+            return jnp.clip(t - step, lo, hi), None
+        t, _ = jax.lax.scan(newton, 0.5 * (lo + hi), None,
+                            length=n_newton)
+        return jnp.tan(t), valid
 
     return jax.vmap(per_sample)(change, c)
 
