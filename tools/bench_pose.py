@@ -71,7 +71,7 @@ def main():
         recover_pose_from_essential, _sym_epi_dist)
     from ei_nexus_tpu.metrics.fivepoint import (
         five_point_candidates, _nullspace_basis, _constraint_matrix,
-        _action_polys, _det_poly, _real_roots_deg10)
+        _action_polys, _det_poly, _real_roots_deg10, _solve_gj)
 
     rng = np.random.default_rng(0)
     # synthetic rigid scene: points on a plane-ish cloud, two views
@@ -138,7 +138,7 @@ def main():
         from ei_nexus_tpu.metrics.fivepoint import _PERM
         Mp = M[..., jnp.asarray(_PERM)]
         A_, B_ = Mp[..., :10], Mp[..., 10:]
-        C = jnp.linalg.solve(A_, B_)
+        C = _solve_gj(A_, B_)
         bx, by, b1 = _action_polys(C)
         n = _det_poly(bx, by, b1)
         z, valid = jax.vmap(_real_roots_deg10)(n)

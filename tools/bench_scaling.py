@@ -1,14 +1,22 @@
 #!/usr/bin/env python
-"""Weak-scaling measurement of the stage-1 train step over a virtual CPU
-device mesh (1 -> 2 -> 4 -> 8 data-parallel devices, fixed per-device
-batch), exercising the same mesh/shard_batch/GSPMD path the TPU pod run
-would use (the reference's analogue is DDP scaling, train_extractor.py:
-86-91; it has no measurement either).
+"""Weak-scaling measurement over a virtual CPU device mesh (1 -> 8
+data-parallel devices, fixed per-device work), exercising the same
+mesh/shard_batch/GSPMD path a TPU pod run would use (the reference's
+analogue is DDP scaling, train_extractor.py:86-91; it has no
+measurement either).
 
-Caveat recorded in the output: virtual devices share this host's physical
-cores (4 here), so efficiency beyond the core count measures XLA partition
-overhead, not hardware scaling. Run on a real multi-chip mesh for the
-north-star number.
+Three rows (round-5 refresh; VERDICT r4 weak #6):
+  stage1 - the production stage-1 step on the CURRENT wire (compact
+           uint16/uint8 event columns, bucketed, decoded on device)
+  stage2 - the production stage-2 step (per-step GT matches, LightGlue
+           deep supervision) on the same wire
+  ba     - Schur/CG bundle adjustment, observations sharded over the
+           data axis (fixed obs per device)
+
+Caveat recorded in the output: virtual devices share this host's
+physical cores (4 here), so efficiency beyond the core count measures
+XLA partition overhead, not hardware scaling. Run on a real multi-chip
+mesh for the north-star number.
 
 Usage: python tools/bench_scaling.py [--out SCALING.json]
 """
@@ -31,46 +39,84 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+H, W, BINS = 128, 128, 16
+MAX_EV = 1 << 14  # == the smallest production wire bucket
 
-def measure(n_dev: int, per_device_batch: int = 2, H: int = 128,
-            W: int = 128, steps: int = 6) -> float:
+
+def _synth_views(B: int, rng) -> tuple:
+    """Stage-agnostic synthetic batch in the loader's output layout."""
+    def view():
+        x = rng.uniform(0, W - 1, (B, MAX_EV)).astype(np.float32)
+        y = rng.uniform(0, H - 1, (B, MAX_EV)).astype(np.float32)
+        t = np.sort(rng.uniform(0, .4, (B, MAX_EV)), 1).astype(np.float32)
+        p = rng.integers(0, 2, (B, MAX_EV)).astype(np.float32)
+        valid = np.ones((B, MAX_EV), bool)
+        return {
+            "events_x": x, "events_y": y, "events_t": t, "events_p": p,
+            "events_valid": valid,
+            "image": rng.uniform(0, 255, (B, H, W, 1)).astype(np.float32),
+            "K": np.tile(np.array([[120.0, 0, W / 2], [0, 120.0, H / 2],
+                                   [0, 0, 1]], np.float32), (B, 1, 1)),
+            "depth": np.full((B, H, W), 2.0, np.float32),
+            "depth_mask": np.ones((B, H, W), bool),
+        }
+
+    T01 = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    T01[:, 0, 3] = 0.05
+    return view(), view(), T01, np.linalg.inv(T01).astype(np.float32)
+
+
+def measure_train(n_dev: int, stage: str, per_device_batch: int = 2,
+                  steps: int = 6) -> float:
     from ei_nexus_tpu.parallel import make_mesh, shard_batch, replicate
     from ei_nexus_tpu.models import EIM, eim_config_from_dict
     from ei_nexus_tpu.utils import load_config
     from ei_nexus_tpu.losses import build_losses
     from ei_nexus_tpu.train import (build_optimizer, build_schedule,
                                     create_train_state, freeze_mask)
-    from ei_nexus_tpu.train.steps import make_stage1_train_step
+    from ei_nexus_tpu.train.steps import (
+        make_stage1_train_step, make_stage2_train_step,
+        compact_stage1_batch, compact_stage2_batch, batch_representation)
     from ei_nexus_tpu.train.partition import frozen_roots_from_config
 
-    cfg = load_config("configs/train_EIM_stage1_MVSEC_SP_MNN.yaml", [])
+    cfg_file = ("configs/train_EIM_stage1_MVSEC_SP_MNN.yaml"
+                if stage == "stage1" else "configs/train_EIM_stage2.yaml")
+    cfg = load_config(cfg_file, [])
     model_cfg = eim_config_from_dict(cfg.model.to_dict())
     model = EIM(config=model_cfg)
     B = per_device_batch * n_dev
-    bins, max_ev = 16, 1 << 14
     rng = np.random.default_rng(0)
-    batch = ({
-        "events_x": rng.uniform(0, W - 1, (B, max_ev)).astype(np.float32),
-        "events_y": rng.uniform(0, H - 1, (B, max_ev)).astype(np.float32),
-        "events_t": np.sort(rng.uniform(0, .4, (B, max_ev)), 1).astype(
-            np.float32),
-        "events_p": rng.integers(0, 2, (B, max_ev)).astype(np.float32),
-        "events_valid": np.ones((B, max_ev), bool),
-        "image": rng.uniform(0, 255, (B, H, W, 1)).astype(np.float32),
-    },)
+    raw = _synth_views(B, rng)
+    # the PRODUCTION wire: compact uint16/uint8 columns + bucketing,
+    # decoded on device inside the jitted step (train/steps.py round 4)
+    batch = (compact_stage1_batch(raw) if stage == "stage1"
+             else compact_stage2_batch(raw))
+
     key = jax.random.PRNGKey(0)
-    variables = model.init({"params": key}, np.zeros((1, H, W, bins),
-                                                     np.float32),
-                           batch[0]["image"][:1],
-                           np.ones((1, H, W), np.float32))
+    rep0, mask0 = batch_representation(
+        {k: v for k, v in batch[0].items() if k.startswith("events")},
+        "VoxelGrid", BINS, H, W)
+    # stage 2 applies with training=True (deep-supervision heads +
+    # random slot padding) — init must create those params/rngs
+    variables = model.init({"params": key, "pad": jax.random.PRNGKey(1)},
+                           np.asarray(rep0[:1]), raw[0]["image"][:1],
+                           np.asarray(mask0[:1]), None,
+                           stage != "stage1")
     tcfg = cfg.train.to_dict()
     schedule = build_schedule(tcfg["scheduler"], tcfg["optimizer"]["lr"])
     tx = build_optimizer(tcfg["optimizer"], schedule)
     state = create_train_state(model, variables, tx)
-    losses = build_losses(tcfg["loss"])
     freeze = freeze_mask(state.params, frozen_roots_from_config(model_cfg))
-    step_fn = make_stage1_train_step(model, losses, freeze, "VoxelGrid",
-                                     bins, H, W)
+    if stage == "stage1":
+        losses = build_losses(tcfg["loss"])
+        step_fn = make_stage1_train_step(model, losses, freeze,
+                                         "VoxelGrid", BINS, H, W)
+    else:
+        gtc = tcfg.get("gt_matches", {})
+        step_fn = make_stage2_train_step(
+            model, freeze, "VoxelGrid", BINS, H, W,
+            pos_th=float(gtc.get("pos_th", 3.0)),
+            neg_th=float(gtc.get("neg_th", 5.0)))
     mesh = make_mesh(devices=jax.devices()[:n_dev])
     state = replicate(state, mesh)
     with jax.set_mesh(mesh):
@@ -85,30 +131,85 @@ def measure(n_dev: int, per_device_batch: int = 2, H: int = 128,
     return dt
 
 
+def measure_ba(n_dev: int, obs_per_device: int = 16384,
+               kf: int = 32, lm: int = 2048) -> float:
+    """One Schur/CG LM iteration, observations sharded over `data`."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ei_nexus_tpu.parallel import make_mesh, replicate
+    from ei_nexus_tpu.parallel.ba import ba_solve
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_ba import synth_problem
+
+    rng = np.random.default_rng(0)
+    n_obs = obs_per_device * n_dev
+    prob = synth_problem(rng, kf, lm, max(1, n_obs // lm))
+    # pad/truncate observations to exactly n_obs for clean sharding
+    def fit(a):
+        a = np.asarray(a)
+        if a.shape[0] >= n_obs:
+            return a[:n_obs]
+        reps = -(-n_obs // a.shape[0])
+        return np.concatenate([a] * reps, 0)[:n_obs]
+    prob = prob._replace(obs_pose=fit(prob.obs_pose),
+                         obs_point=fit(prob.obs_point),
+                         obs_uv=fit(prob.obs_uv),
+                         obs_valid=fit(prob.obs_valid))
+
+    mesh = make_mesh(devices=jax.devices()[:n_dev])
+    with jax.set_mesh(mesh):
+        sh = NamedSharding(mesh, P("data"))
+        prob_s = prob._replace(
+            obs_pose=jax.device_put(prob.obs_pose, sh),
+            obs_point=jax.device_put(prob.obs_point, sh),
+            obs_uv=jax.device_put(prob.obs_uv, sh),
+            obs_valid=jax.device_put(prob.obs_valid, sh),
+            poses=replicate(prob.poses, mesh),
+            points=replicate(prob.points, mesh),
+            intrinsics=replicate(prob.intrinsics, mesh))
+        solve = jax.jit(lambda p: ba_solve(p, iters=2, cg_iters=20))
+        out = solve(prob_s)                              # compile
+        jax.block_until_ready(out.poses)
+        t0 = time.perf_counter()
+        out = solve(prob_s)
+        jax.block_until_ready(out.poses)
+        dt = (time.perf_counter() - t0) / 2              # per LM iteration
+    return dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALING.json")
+    ap.add_argument("--kinds", default="stage1,stage2,ba")
     args = ap.parse_args()
-    results = {}
-    t1 = None
-    for n in (1, 2, 4, 8):
-        dt = measure(n)
-        t1 = t1 or dt
-        eff = t1 / dt  # weak scaling: ideal = same step time at any width
-        results[str(n)] = {"step_s": round(dt, 4),
-                           "samples_per_s": round(2 * n / dt, 3),
-                           "weak_efficiency": round(eff, 3)}
-        print(f"devices={n}: {dt*1e3:.1f} ms/step, "
-              f"{2 * n / dt:.2f} samples/s, weak eff {eff:.2f}")
+    kinds = args.kinds.split(",")
     payload = {
-        "kind": "weak_scaling_stage1_train_step",
+        "kind": "weak_scaling_round5",
         "host_physical_cores": os.cpu_count(),
         "note": ("virtual CPU devices share physical cores; efficiency at "
                  "n > cores is bounded by the host, not the partitioning. "
-                 "TPU pod hardware unavailable in this environment."),
-        "per_device_batch": 2, "resolution": [128, 128],
-        "results": results,
+                 "TPU pod hardware unavailable in this environment. "
+                 "Train rows use the production compact+bucketed wire."),
+        "per_device_batch": 2, "resolution": [H, W],
+        "ba_obs_per_device": 16384,
+        "results": {},
     }
+    for kind in kinds:
+        results = {}
+        t1 = None
+        for n in (1, 2, 4, 8):
+            if kind == "ba":
+                dt = measure_ba(n)
+                unit = f"{16384 * n} obs"
+            else:
+                dt = measure_train(n, kind)
+                unit = f"{2 * n} samples"
+            t1 = t1 or dt
+            eff = t1 / dt  # weak scaling: ideal = flat step time
+            results[str(n)] = {"step_s": round(dt, 4),
+                               "weak_efficiency": round(eff, 3)}
+            print(f"[{kind}] devices={n}: {dt*1e3:.1f} ms/step ({unit}), "
+                  f"weak eff {eff:.2f}", flush=True)
+        payload["results"][kind] = results
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload["results"]))
