@@ -167,6 +167,13 @@ def compact_stage2_batch(batch):
             T01, T10)
 
 
+def compact_stage2_homography_batch(batch):
+    """Wire shrink for the homography-supervised stage-2 step (EC): only
+    data0's events + frame cross the wire — the warped second view and
+    the GT homography are generated on device inside the step."""
+    return (compact_event_view(batch[0], keep=("image",)),)
+
+
 def batch_representation(batch_view: Mapping[str, jax.Array], kind: str,
                          bins: int, height: int, width: int,
                          fast: bool = True, with_drop_stat: bool = False):
@@ -297,6 +304,81 @@ def make_stage2_train_step(
         # global grad norm: training observability + the multichip dryrun's
         # sharded-vs-single-device equality check (a wrong/missing psum
         # shows up as a norm mismatch long before the loss diverges)
+        info["grad_norm"] = optax.global_norm(grads)
+        new_state = state.apply_gradients(grads, new_stats)
+        info["dropped_splat_weight"] = drop_w
+        return new_state, info
+
+    return step
+
+
+def make_stage2_homography_train_step(
+    model, freeze: Any, rep_kind: str, bins: int, height: int, width: int,
+    pos_th: float = 3.0, neg_th: float = 5.0, gamma: float = 1.0,
+    nll_balancing: float = 0.5, max_corner_jitter: float = 0.125,
+) -> Callable:
+    """Stage-2 (LightGlue) step with HOMOGRAPHY supervision for datasets
+    without depth (EC: ref datasets/EC.py carries no depth frames, so the
+    reference's stage-2 trainer — which reads data0['depth'],
+    train_matcher.py:181-190 — cannot run on EC at all; this step is the
+    framework's EC-capable extension using the reference's own dormant
+    homography GT path, ref core/geometry/gt_generation.py:173).
+
+    Per step, each sample's grayscale frame is warped by a random
+    perspective transform sampled on device (corner jitter up to
+    `max_corner_jitter` of the frame size), the events stay unwarped at
+    t0, and GT matches come from the known H via
+    `gt_matches_from_homography`. Classic homography self-supervision:
+    the matcher learns event->image matching under viewpoint change
+    without depth/pose labels."""
+    from ..geometry import gt_matches_from_homography
+    from ..ops.homographic import (extract_crops_batched,
+                                   perspective_transform_from_points)
+
+    @jax.jit
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        data0 = batch[0]
+        ev_rep, ev_mask, drop_w = batch_representation(
+            data0, rep_kind, bins, height, width, with_drop_stat=True)
+        image0 = data0["image"]
+        B = image0.shape[0]
+        rng_h, rng_pad = jax.random.split(rng)
+        corners = jnp.asarray([[0.0, 0.0], [width, 0.0],
+                               [width, height], [0.0, height]],
+                              jnp.float32)
+        jitter = jax.random.uniform(
+            rng_h, (B, 4, 2), minval=-1.0, maxval=1.0) * \
+            jnp.asarray([width, height], jnp.float32) * max_corner_jitter
+        src = corners[None] + jitter                  # quad in image0
+        dst = jnp.broadcast_to(corners, (B, 4, 2))
+        Hmat = perspective_transform_from_points(src, dst)  # H: im0 -> im1
+        image1 = extract_crops_batched(image0, Hmat, (height, width))
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            (ev_feats, im_feats, matches), mutated = state.apply_fn(
+                variables, ev_rep, image1, ev_mask, None, True,
+                mutable=["batch_stats"], rngs={"pad": rng_pad})
+            # sparse positions are (y+0.5, x+0.5) — homography GT wants xy
+            kp0 = matches["input_feats0"]["sparse_positions"][..., :2]
+            kp1 = matches["input_feats1"]["sparse_positions"][..., :2]
+            gt = gt_matches_from_homography(
+                kp0[..., ::-1], kp1[..., ::-1], Hmat,
+                pos_th=pos_th, neg_th=neg_th,
+                mask0=matches["input_feats0"]["sparse_valid"],
+                mask1=matches["input_feats1"]["sparse_valid"])
+            loss, info = lightglue_loss(
+                matches, gt, gamma=gamma, nll_balancing=nll_balancing,
+                training=True)
+            n_gt = jnp.mean(jnp.sum(gt["matches0"] > -1, axis=-1)
+                            .astype(jnp.float32))
+            info = {"loss": loss, "gt_matches": n_gt, **info}
+            return loss, (info, mutated.get("batch_stats",
+                                            state.batch_stats))
+
+        (loss, (info, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        grads = apply_freeze(grads, freeze)
         info["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads, new_stats)
         info["dropped_splat_weight"] = drop_w

@@ -297,6 +297,48 @@ class TestStage1:
 
 
 class TestStage2:
+    def test_homography_stage2_step(self, rng):
+        """Homography-supervised stage-2 for depthless datasets (EC):
+        the step warps the frame on device with a sampled perspective
+        transform and supervises from the known H — the reference's
+        stage-2 cannot run on EC at all (it reads data0['depth'],
+        ref train_matcher.py:185). Loss must be finite and decrease,
+        frozen extractors must not move, and the wire ships only
+        data0's events + frame."""
+        from ei_nexus_tpu.train.steps import (
+            make_stage2_homography_train_step,
+            compact_stage2_homography_batch)
+        model = EIM(config=small_config("LightGlue", freeze_matcher=False))
+        batch = synth_batch(rng, with_depth=False)
+        wire = compact_stage2_homography_batch(batch)
+        assert set(wire[0].keys()) == {
+            "events_xq", "events_yq", "events_tr", "events_pq",
+            "events_n", "image"}
+        ev_rep, ev_mask = batch_representation(
+            {k: jnp.asarray(v) for k, v in batch[0].items()
+             if k.startswith("events")}, "VoxelGrid", BINS, H, W)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "pad": jax.random.PRNGKey(1)},
+            ev_rep, jnp.asarray(batch[0]["image"]), ev_mask, None, True)
+        tx = build_optimizer({"type": "AdamW", "AdamW": {}}, lambda s: 1e-4)
+        state = create_train_state(model, variables, tx)
+        freeze = freeze_mask(variables["params"],
+                             frozen_roots_from_config(model.config))
+        step = make_stage2_homography_train_step(
+            model, freeze, "VoxelGrid", BINS, H, W)
+        ev0 = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).copy(),
+            state.params["event_extractor"])
+        losses = []
+        for i in range(6):
+            state, info = step(state, wire, jax.random.PRNGKey(10 + i))
+            losses.append(float(info["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+            state.params["event_extractor"], ev0)
+
     def test_lightglue_training_step(self, rng):
         model = EIM(config=small_config("LightGlue", freeze_matcher=False))
         batch = synth_batch(rng)

@@ -66,8 +66,9 @@ def main(argv=None):
         save_checkpoint, restore_checkpoint, load_stage1_event_extractor,
         is_host_driven, PlateauController, set_learning_rate)
     from ei_nexus_tpu.train.steps import (
-        make_stage2_train_step, batch_representation,
-        compact_stage2_batch)
+        make_stage2_train_step, make_stage2_homography_train_step,
+        batch_representation, compact_stage2_batch,
+        compact_stage2_homography_batch)
     from ei_nexus_tpu.train.partition import frozen_roots_from_config
     from ei_nexus_tpu.parallel import make_mesh, shard_batch, replicate
     from ei_nexus_tpu.data import DataLoader
@@ -143,10 +144,25 @@ def main(argv=None):
     freeze = freeze_mask(state.params, frozen_roots_from_config(model_cfg))
     gtc = tcfg.get("gt_matches", {})
     lgc = model_cfg.matcher.lightglue
-    step_fn = make_stage2_train_step(
-        model, freeze, rep, bins, H, W,
-        pos_th=gtc.get("pos_th", 3.0), neg_th=gtc.get("neg_th", 5.0),
-        gamma=lgc.gamma, nll_balancing=lgc.nll_balancing)
+    # EC carries no depth frames, so pose+depth GT is impossible there
+    # (the reference's stage-2 trainer simply cannot run on EC —
+    # ref train_matcher.py:181-190 reads data0['depth']); datasets
+    # without depth train with on-device homography supervision instead
+    has_depth = "depth" in sample[0]
+    if has_depth:
+        step_fn = make_stage2_train_step(
+            model, freeze, rep, bins, H, W,
+            pos_th=gtc.get("pos_th", 3.0), neg_th=gtc.get("neg_th", 5.0),
+            gamma=lgc.gamma, nll_balancing=lgc.nll_balancing)
+        compact_fn = compact_stage2_batch
+    else:
+        logger.log_info("no depth in dataset: homography-supervised "
+                        "stage-2 (on-device warp + known-H GT)")
+        step_fn = make_stage2_homography_train_step(
+            model, freeze, rep, bins, H, W,
+            pos_th=gtc.get("pos_th", 3.0), neg_th=gtc.get("neg_th", 5.0),
+            gamma=lgc.gamma, nll_balancing=lgc.nll_balancing)
+        compact_fn = compact_stage2_homography_batch
 
     shutdown = GracefulShutdown()
     mesh = make_mesh()
@@ -178,7 +194,7 @@ def main(argv=None):
                     epoch_losses.append(float(vals["loss"]))
 
             pending = None
-            put = lambda b: shard_batch(compact_stage2_batch(b), mesh)  # noqa: E731
+            put = lambda b: shard_batch(compact_fn(b), mesh)  # noqa: E731
             if os.environ.get("EI_NEXUS_TRAIN_DEVICE_PREFETCH") == "1":
                 # encode+H2D one batch ahead on a thread (opt-in until
                 # A/B'd through the tunnel; see data.device_prefetch)
