@@ -167,10 +167,10 @@ def measure_ba(n_dev: int, obs_per_device: int = 16384,
             points=replicate(prob.points, mesh),
             intrinsics=replicate(prob.intrinsics, mesh))
         solve = jax.jit(lambda p: ba_solve(p, iters=2, cg_iters=20))
-        out = solve(prob_s)                              # compile
+        out, _ = solve(prob_s)                           # compile
         jax.block_until_ready(out.poses)
         t0 = time.perf_counter()
-        out = solve(prob_s)
+        out, _ = solve(prob_s)
         jax.block_until_ready(out.poses)
         dt = (time.perf_counter() - t0) / 2              # per LM iteration
     return dt
