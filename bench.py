@@ -133,10 +133,12 @@ def run_bench_e2e():
         outs = []
         t0 = time.perf_counter()
         if device:
-            # encode + H2D on a background thread, 2 batches ahead: the
-            # tunneled transfer overlaps the in-flight batch's compute
-            # instead of serializing with it (EI_NEXUS_DEVICE_PREFETCH=0
-            # restores the inline path for A/B)
+            # encode + H2D: inline by default — the round-5 on-target A/B
+            # measured the threaded prefetch LOSING ~5-10% through the
+            # tunnel (inline 64.3 vs prefetched 56.4-58.7 pairs/s at
+            # matched host speed; BASELINE.md round 5). The wrapper
+            # honors EI_NEXUS_DEVICE_PREFETCH=1 for hosts with truly
+            # async H2D.
             it = device_prefetch(
                 iter(loader),
                 lambda b: jax.device_put(

@@ -152,17 +152,17 @@ def device_prefetch(iterable, put, depth: int = 2):
     """Apply `put` (device_put / shard_batch / encode+put) to batches on a
     background thread, `depth` ahead of the consumer.
 
-    The tunneled H2D transfer is fully serial with device compute when
-    `put` runs inline in the step loop (measured: e2e bench sustains 46
-    pairs/s against a 355 pairs/s device rate with host prep at only
-    31%). Overlapping the NEXT batch's transfer with the CURRENT step's
-    compute hides it. jax dispatch and device_put are thread-safe; the
-    queue depth bounds device-side buffer usage to `depth` extra batches.
-
-    Worker exceptions re-raise at the consumer. Disable with
-    EI_NEXUS_DEVICE_PREFETCH=0 (falls back to inline `put`).
+    ROUND-5 MEASURED, default OFF: the on-target A/B this wrapper was
+    waiting for (VERDICT r4 #2) shows threaded prefetch LOSES ~5-10%
+    end-to-end through the axon tunnel — inline 64.3 pairs/s vs
+    prefetched 58.7/56.4 at matched host speed (EI_NEXUS_BENCH_E2E runs,
+    BASELINE.md round 5). The tunneled client appears to serialize
+    device_put internally, so the thread buys no overlap and its queue
+    hand-off + core contention with the loader workers cost throughput.
+    The mechanism stays available (enable with
+    EI_NEXUS_DEVICE_PREFETCH=1) for hosts with genuinely async H2D.
     """
-    if os.environ.get("EI_NEXUS_DEVICE_PREFETCH", "1") == "0":
+    if os.environ.get("EI_NEXUS_DEVICE_PREFETCH", "0") == "0":
         for item in iterable:
             yield put(item)
         return

@@ -286,27 +286,29 @@ class TestPipeline:
             list(dl)
 
     def test_device_prefetch_order_and_errors(self):
+        # threaded path is OPT-IN since the round-5 on-target A/B showed
+        # it loses through the tunnel (data/pipeline.py device_prefetch)
         from ei_nexus_tpu.data import device_prefetch
-        items = list(range(7))
-        out = list(device_prefetch(iter(items), lambda x: x * 10))
-        assert out == [x * 10 for x in items]  # order preserved
-
-        def bad_put(x):
-            if x == 3:
-                raise ValueError("put failed")
-            return x
-
-        with pytest.raises(ValueError, match="put failed"):
-            list(device_prefetch(iter(items), bad_put))
-
-        # inline fallback honors the kill switch
         import os
-        os.environ["EI_NEXUS_DEVICE_PREFETCH"] = "0"
+        items = list(range(7))
+        os.environ["EI_NEXUS_DEVICE_PREFETCH"] = "1"
         try:
-            out = list(device_prefetch(iter(items), lambda x: x + 1))
-            assert out == [x + 1 for x in items]
+            out = list(device_prefetch(iter(items), lambda x: x * 10))
+            assert out == [x * 10 for x in items]  # order preserved
+
+            def bad_put(x):
+                if x == 3:
+                    raise ValueError("put failed")
+                return x
+
+            with pytest.raises(ValueError, match="put failed"):
+                list(device_prefetch(iter(items), bad_put))
         finally:
             del os.environ["EI_NEXUS_DEVICE_PREFETCH"]
+
+        # default (unset) = inline fallback
+        out = list(device_prefetch(iter(items), lambda x: x + 1))
+        assert out == [x + 1 for x in items]
 
 
 class TestAugment:
